@@ -1,0 +1,457 @@
+// Native single-core WALNUTS baseline benchmark.
+//
+// The reference publishes no performance numbers (BASELINE.md), so the
+// 64-core C++ comparison point has to be measured. This is a fresh,
+// self-contained C++17 implementation of the WALNUTS algorithm (written
+// from the algorithm: within-orbit adaptive step halving with an explicit
+// reversibility check, biased-progressive tree doubling, Nutpie-style
+// continuous warmup) on plain std::vector math — no Eigen, no external
+// deps — used purely to measure single-core ESS/sec on the same targets
+// bench.py runs on TPU. csrc/run_baseline.py drives it and stores results
+// in BASELINE_MEASURED.json; bench.py extrapolates x64 for the 64-core
+// baseline ratio.
+//
+// Build: g++ -O3 -march=native -std=c++17 -o baseline_bench baseline_bench.cpp
+// Run:   ./baseline_bench <model: funnel|logreg> <chains> <warmup> <sampling> <seed> <out.bin>
+
+#include <cassert>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <memory>
+#include <optional>
+#include <random>
+#include <string>
+#include <vector>
+
+using Vec = std::vector<double>;
+
+// ---------------------------------------------------------------- targets
+
+struct Target {
+  virtual ~Target() = default;
+  virtual int dim() const = 0;
+  // returns logp, fills grad
+  virtual double logp_grad(const Vec& q, Vec& grad) const = 0;
+};
+
+struct Funnel : Target {
+  int d_latent;
+  double scale;
+  explicit Funnel(int dim_total, double s = 3.0) : d_latent(dim_total - 1), scale(s) {}
+  int dim() const override { return d_latent + 1; }
+  double logp_grad(const Vec& q, Vec& grad) const override {
+    double v = q[0];
+    double inv_ev = std::exp(-v);
+    double ssq = 0.0;
+    for (int i = 1; i <= d_latent; ++i) ssq += q[i] * q[i];
+    double lp = -0.5 * v * v / (scale * scale) - 0.5 * ssq * inv_ev - 0.5 * d_latent * v;
+    grad[0] = -v / (scale * scale) + 0.5 * ssq * inv_ev - 0.5 * d_latent;
+    for (int i = 1; i <= d_latent; ++i) grad[i] = -q[i] * inv_ev;
+    return lp;
+  }
+};
+
+struct LogReg : Target {
+  int n_obs, n_cov;
+  std::vector<double> x;   // row-major n_obs x n_cov, with intercept column
+  std::vector<double> y;   // +/- 1
+  LogReg(int n, int p, uint64_t seed) : n_obs(n), n_cov(p), x(n * p), y(n) {
+    std::mt19937_64 rng(seed);
+    std::normal_distribution<double> nd(0.0, 1.0);
+    std::uniform_real_distribution<double> ud(0.0, 1.0);
+    for (int i = 0; i < n_obs; ++i) {
+      x[i * n_cov] = 1.0;
+      for (int j = 1; j < n_cov; ++j) x[i * n_cov + j] = nd(rng);
+    }
+    // standardize non-intercept columns
+    for (int j = 1; j < n_cov; ++j) {
+      double m = 0, s = 0;
+      for (int i = 0; i < n_obs; ++i) m += x[i * n_cov + j];
+      m /= n_obs;
+      for (int i = 0; i < n_obs; ++i) s += (x[i * n_cov + j] - m) * (x[i * n_cov + j] - m);
+      s = std::sqrt(s / n_obs);
+      for (int i = 0; i < n_obs; ++i) x[i * n_cov + j] = (x[i * n_cov + j] - m) / s;
+    }
+    Vec beta(n_cov);
+    for (int j = 0; j < n_cov; ++j) beta[j] = 0.5 * nd(rng);
+    for (int i = 0; i < n_obs; ++i) {
+      double eta = 0;
+      for (int j = 0; j < n_cov; ++j) eta += x[i * n_cov + j] * beta[j];
+      double p1 = 1.0 / (1.0 + std::exp(-eta));
+      y[i] = (ud(rng) < p1) ? 1.0 : -1.0;
+    }
+  }
+  int dim() const override { return n_cov; }
+  double logp_grad(const Vec& q, Vec& grad) const override {
+    double lp = 0.0;
+    for (int j = 0; j < n_cov; ++j) {
+      grad[j] = -q[j];            // prior gradient
+      lp -= 0.5 * q[j] * q[j];    // prior
+    }
+    for (int i = 0; i < n_obs; ++i) {
+      double eta = 0;
+      const double* row = &x[i * n_cov];
+      for (int j = 0; j < n_cov; ++j) eta += row[j] * q[j];
+      double z = y[i] * eta;
+      // log sigmoid(z), stable
+      double ls = z > 0 ? -std::log1p(std::exp(-z)) : z - std::log1p(std::exp(z));
+      lp += ls;
+      double sig = 1.0 / (1.0 + std::exp(z));  // 1 - sigmoid(z)
+      double c = y[i] * sig;
+      for (int j = 0; j < n_cov; ++j) grad[j] += c * row[j];
+    }
+    return lp;
+  }
+};
+
+// ----------------------------------------------------------- sampler core
+
+struct Rng {
+  std::mt19937_64 gen;
+  std::normal_distribution<double> nd{0.0, 1.0};
+  std::uniform_real_distribution<double> ud{0.0, 1.0};
+  explicit Rng(uint64_t seed) : gen(seed) {}
+  double normal() { return nd(gen); }
+  double uniform() { return ud(gen); }
+  bool coin() { return ud(gen) < 0.5; }
+};
+
+static double kinetic(const Vec& p, const Vec& inv_mass) {
+  double k = 0.0;
+  for (size_t i = 0; i < p.size(); ++i) k += inv_mass[i] * p[i] * p[i];
+  return -0.5 * k;
+}
+
+static double lse(double a, double b) {
+  double m = std::fmax(a, b);
+  if (std::isinf(m)) return m;
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+
+struct Orbit {
+  Vec q_lo, p_lo, g_lo;   // backward end
+  Vec q_hi, p_hi, g_hi;   // forward end
+  double h_lo, h_hi;      // joint log densities at the ends
+  Vec q_pick, g_pick;     // progressively selected state
+  double lp_pick;         // position log density of the selection
+  double lw;              // logsumexp of joint densities over the orbit
+};
+
+struct Counters {
+  long grads = 0;
+};
+
+struct Tuning {
+  double step;
+  int min_micro;
+  double max_err;
+  int max_depth;
+  int max_halvings;
+};
+
+// integrate n micro steps of size h from (q,p,g); returns final position
+// logp; updates in place
+static double integrate(const Target& tgt, const Vec& inv_mass, double h, int n,
+                        Vec& q, Vec& p, Vec& g, Counters& cnt) {
+  const int d = static_cast<int>(q.size());
+  double lp = 0.0;
+  for (int s = 0; s < n; ++s) {
+    for (int i = 0; i < d; ++i) p[i] += 0.5 * h * g[i];
+    for (int i = 0; i < d; ++i) q[i] += h * inv_mass[i] * p[i];
+    lp = tgt.logp_grad(q, g);
+    ++cnt.grads;
+    for (int i = 0; i < d; ++i) p[i] += 0.5 * h * g[i];
+  }
+  return lp;
+}
+
+// one macro step in direction sign(h0) from state (q0,p0,g0) with joint h_start.
+// Returns nullopt on failure; otherwise the new single-point orbit.
+template <typename Adapt>
+static std::optional<Orbit> macro_step(const Target& tgt, const Vec& inv_mass,
+                                       const Tuning& tun, double h0,
+                                       const Vec& q0, const Vec& p0, const Vec& g0,
+                                       double h_start, Counters& cnt, Adapt&& adapt) {
+  Vec q, p, g;
+  double h = h0;
+  int n = tun.min_micro;
+  for (int halve = 0; halve < tun.max_halvings; ++halve, n *= 2, h *= 0.5) {
+    q = q0; p = p0; g = g0;
+    double lp = integrate(tgt, inv_mass, h, n, q, p, g, cnt);
+    double joint = lp + kinetic(p, inv_mass);
+    double err = std::fabs(h_start - joint);
+    if (n == tun.min_micro) adapt(std::isnan(err) ? 0.0 : std::exp(-err));
+    if (err <= tun.max_err) {
+      // reversibility: any coarser level passing from the flipped endpoint
+      // breaks detailed balance
+      int rn = n;
+      double rh = h;
+      Vec rq(q.size()), rp(q.size()), rg(q.size());
+      bool ok = true;
+      while (rn >= 2 * tun.min_micro) {
+        rn /= 2;
+        rh *= 2;
+        rq = q;
+        rg = g;
+        for (size_t i = 0; i < p.size(); ++i) rp[i] = -p[i];
+        double rlp = integrate(tgt, inv_mass, rh, rn, rq, rp, rg, cnt);
+        double rjoint = rlp + kinetic(rp, inv_mass);
+        if (std::fabs(rjoint - joint) <= tun.max_err) { ok = false; break; }
+      }
+      if (!ok) return std::nullopt;
+      Orbit o{q, p, g, q, p, g, joint, joint, q, g, lp, joint};
+      return o;
+    }
+  }
+  return std::nullopt;
+}
+
+static bool uturn(const Orbit& older, const Orbit& newer, bool fwd, const Vec& inv_mass) {
+  const Orbit& lo = fwd ? older : newer;
+  const Orbit& hi = fwd ? newer : older;
+  double dot_hi = 0, dot_lo = 0;
+  for (size_t i = 0; i < inv_mass.size(); ++i) {
+    double delta = inv_mass[i] * (hi.q_hi[i] - lo.q_lo[i]);
+    dot_hi += hi.p_hi[i] * delta;
+    dot_lo += lo.p_lo[i] * delta;
+  }
+  return dot_hi < 0 || dot_lo < 0;
+}
+
+// merge: barker=true uses proportional selection, else Metropolis
+static Orbit merge(Rng& rng, Orbit&& older, Orbit&& newer, bool fwd, bool barker) {
+  double lw = lse(older.lw, newer.lw);
+  double denom = barker ? lw : older.lw;
+  bool take_new = std::log(rng.uniform()) < newer.lw - denom;
+  Orbit out;
+  Orbit& lo = fwd ? older : newer;
+  Orbit& hi = fwd ? newer : older;
+  out.q_lo = std::move(lo.q_lo); out.p_lo = std::move(lo.p_lo);
+  out.g_lo = std::move(lo.g_lo); out.h_lo = lo.h_lo;
+  out.q_hi = std::move(hi.q_hi); out.p_hi = std::move(hi.p_hi);
+  out.g_hi = std::move(hi.g_hi); out.h_hi = hi.h_hi;
+  Orbit& pick = take_new ? newer : older;
+  out.q_pick = std::move(pick.q_pick);
+  out.g_pick = std::move(pick.g_pick);
+  out.lp_pick = pick.lp_pick;
+  out.lw = lw;
+  return out;
+}
+
+// build a balanced subtree of `leaves` macro steps extending `frontier`
+template <typename Adapt>
+static std::optional<Orbit> grow(const Target& tgt, const Vec& inv_mass,
+                                 const Tuning& tun, Rng& rng, bool fwd, int depth,
+                                 const Orbit& frontier, Counters& cnt, Adapt&& adapt) {
+  if (depth == 0) {
+    double h0 = fwd ? tun.step : -tun.step;
+    const Vec& q = fwd ? frontier.q_hi : frontier.q_lo;
+    const Vec& p = fwd ? frontier.p_hi : frontier.p_lo;
+    const Vec& g = fwd ? frontier.g_hi : frontier.g_lo;
+    double hj = fwd ? frontier.h_hi : frontier.h_lo;
+    return macro_step(tgt, inv_mass, tun, h0, q, p, g, hj, cnt, adapt);
+  }
+  auto first = grow(tgt, inv_mass, tun, rng, fwd, depth - 1, frontier, cnt, adapt);
+  if (!first) return std::nullopt;
+  auto second = grow(tgt, inv_mass, tun, rng, fwd, depth - 1, *first, cnt, adapt);
+  if (!second) return std::nullopt;
+  if (uturn(*first, *second, fwd, inv_mass)) return std::nullopt;
+  return merge(rng, std::move(*first), std::move(*second), fwd, /*barker=*/true);
+}
+
+// one WALNUTS draw; q is updated in place; returns (position logp, depth)
+template <typename Adapt>
+static std::pair<double, int> draw(const Target& tgt, const Vec& inv_mass,
+                                   const Tuning& tun, Rng& rng, Vec& q, Vec& g_out,
+                                   Counters& cnt, Adapt&& adapt) {
+  const int d = tgt.dim();
+  Vec p(d);
+  for (int i = 0; i < d; ++i) p[i] = rng.normal() / std::sqrt(inv_mass[i]);
+  Vec g(d);
+  double lp = tgt.logp_grad(q, g);
+  ++cnt.grads;
+  double joint = lp + kinetic(p, inv_mass);
+  Orbit orbit{q, p, g, q, p, g, joint, joint, q, g, lp, joint};
+  int depth = 1;
+  for (; depth <= tun.max_depth; ++depth) {
+    bool fwd = rng.coin();
+    auto sub = grow(tgt, inv_mass, tun, rng, fwd, depth - 1, orbit, cnt, adapt);
+    if (!sub) break;
+    bool turned = uturn(orbit, *sub, fwd, inv_mass);
+    orbit = merge(rng, std::move(orbit), std::move(*sub), fwd, /*barker=*/false);
+    if (turned) break;
+  }
+  q = orbit.q_pick;
+  g_out = orbit.g_pick;
+  return {orbit.lp_pick, depth};
+}
+
+// ------------------------------------------------------------- adaptation
+
+struct Adam {
+  double logeps, m = 0, v = 0;
+  double t = 0, b1p = 1, b2p = 1;
+  double target = 0.8, lr = 0.05, b1 = 0.8, b2 = 0.9, eps = 1e-4, decay = 0.5;
+  explicit Adam(double step0) : logeps(std::log(step0)) {}
+  void observe(double accept) {
+    t += 1; b1p *= b1; b2p *= b2;
+    double grad = target - accept;
+    m = b1 * m + (1 - b1) * grad;
+    v = b2 * v + (1 - b2) * grad * grad;
+    double mh = m / (1 - b1p), vh = v / (1 - b2p);
+    logeps -= lr / std::pow(t, decay) * mh / (std::sqrt(vh) + eps);
+  }
+  double step() const { return std::exp(logeps); }
+};
+
+struct DiscountedMoments {
+  double w;
+  Vec mean, ssd;
+  DiscountedMoments(double w0, const Vec& var0) : w(w0), mean(var0.size(), 0.0), ssd(var0.size()) {
+    for (size_t i = 0; i < var0.size(); ++i) ssd[i] = w0 * var0[i];
+  }
+  void observe(double df, const Vec& y) {
+    w = df * w + 1.0;
+    for (size_t i = 0; i < y.size(); ++i) {
+      double delta = y[i] - mean[i];
+      mean[i] += delta / w;
+      ssd[i] = df * ssd[i] + delta * (y[i] - mean[i]);
+    }
+  }
+  void variance(Vec& out) const {
+    for (size_t i = 0; i < ssd.size(); ++i) out[i] = w > 0 ? ssd[i] / w : 1.0;
+  }
+};
+
+// --------------------------------------------------------------- benchmark
+
+int main(int argc, char** argv) {
+  if (argc < 7) {
+    std::fprintf(stderr,
+                 "usage: %s <funnel|logreg> <chains> <warmup> <sampling> <seed> <out.bin>\n",
+                 argv[0]);
+    return 1;
+  }
+  std::string model = argv[1];
+  int n_chains = std::atoi(argv[2]);
+  int n_warm = std::atoi(argv[3]);
+  int n_samp = std::atoi(argv[4]);
+  uint64_t seed = std::strtoull(argv[5], nullptr, 10);
+  const char* out_path = argv[6];
+
+  std::unique_ptr<Target> tgt;
+  if (model == "funnel") tgt = std::make_unique<Funnel>(101);
+  else tgt = std::make_unique<LogReg>(1000, 25, 20260816ULL);
+  const int d = tgt->dim();
+  const int keep_dims = std::min(d, 17);
+
+  std::vector<double> draws;  // chain-major: [chain][iter][keep_dims]
+  draws.reserve(static_cast<size_t>(n_chains) * n_samp * keep_dims);
+
+  Counters cnt;
+  auto t0 = std::chrono::steady_clock::now();
+  double warm_seconds = 0.0;
+
+  for (int c = 0; c < n_chains; ++c) {
+    Rng rng(seed + 1000003ULL * c);
+    Vec q(d);
+    for (int i = 0; i < d; ++i) q[i] = 2.0 * rng.normal();
+    Vec grad(d);
+    double lp0 = tgt->logp_grad(q, grad);
+    (void)lp0;
+    ++cnt.grads;
+    // Nutpie-style gradient mass init
+    Vec mass(d);
+    for (int i = 0; i < d; ++i) mass[i] = 0.99999 * std::fabs(grad[i]) + 1e-5;
+    Vec inv_mass_init(d);
+    for (int i = 0; i < d; ++i) inv_mass_init[i] = 1.0 / mass[i];
+
+    // coarse initial step search: double while one-step accept > 0.9,
+    // then shrink by sqrt(1/2) until accept > 0.6
+    double step0 = 1.0;
+    {
+      Vec p0(d), qq(d), pp(d), gg(d);
+      for (int i = 0; i < d; ++i) p0[i] = rng.normal() * std::sqrt(mass[i]);
+      auto one_step_err = [&](double h) {
+        qq = q;
+        pp = p0;
+        gg = grad;
+        double lp_here = lp0 + kinetic(p0, inv_mass_init);
+        double lp_new = integrate(*tgt, inv_mass_init, h, 1, qq, pp, gg, cnt);
+        return lp_new + kinetic(pp, inv_mass_init) - lp_here;
+      };
+      int guard = 0;
+      while (one_step_err(step0) > std::log(0.9) && guard++ < 64) step0 *= 2.0;
+      guard = 0;
+      while (one_step_err(step0) < std::log(0.6) && guard++ < 64) step0 *= std::sqrt(0.5);
+    }
+
+    Adam adam(step0);
+    DiscountedMoments draws_mom(4.0, inv_mass_init);
+    DiscountedMoments score_mom(4.0, mass);
+    double total_macro = 2.0, macro_count = 1.0;
+
+    Tuning tun{adam.step(), 1, 0.5, 5, 5};
+    Vec inv_mass(d), vd(d), vs(d), g_sel(d);
+
+    auto tw0 = std::chrono::steady_clock::now();
+    for (int it = 0; it < n_warm; ++it) {
+      draws_mom.variance(vd);
+      score_mom.variance(vs);
+      for (int i = 0; i < d; ++i) inv_mass[i] = std::sqrt(vd[i] / vs[i]);
+      tun.step = adam.step();
+      double mean_macro = total_macro / macro_count;
+      tun.min_micro = std::max(1, (int)std::lround(mean_macro / 15.0));
+      auto [lp, depth] = draw(*tgt, inv_mass, tun, rng, q, g_sel, cnt,
+                              [&](double a) { adam.observe(a); });
+      (void)lp;
+      double df = 1.0 - 1.0 / (4.0 + it);
+      draws_mom.observe(df, q);
+      score_mom.observe(df, g_sel);
+      total_macro += (double)(1 << depth);
+      macro_count += 1.0;
+    }
+    warm_seconds += std::chrono::duration<double>(std::chrono::steady_clock::now() - tw0).count();
+
+    draws_mom.variance(vd);
+    score_mom.variance(vs);
+    for (int i = 0; i < d; ++i) inv_mass[i] = std::sqrt(vd[i] / vs[i]);
+    tun.step = adam.step();
+    double mean_macro = total_macro / macro_count;
+    tun.min_micro = std::max(1, (int)std::lround(mean_macro / 15.0));
+    if (std::getenv("BASELINE_DEBUG")) {
+      std::fprintf(stderr,
+                   "chain %d: step0 %.4f frozen step %.5f min_micro %d inv_mass[0] %.4g q[0] %.3f\n",
+                   c, step0, tun.step, tun.min_micro, inv_mass[0], q[0]);
+    }
+
+    for (int it = 0; it < n_samp; ++it) {
+      auto res = draw(*tgt, inv_mass, tun, rng, q, g_sel, cnt, [](double) {});
+      if (std::getenv("BASELINE_DEBUG2") && it < 10) {
+        std::fprintf(stderr, "chain %d it %d lp %.3f depth %d q0 %.4f\n",
+                     c, it, res.first, res.second, q[0]);
+      }
+      (void)res;
+      for (int k = 0; k < keep_dims; ++k) draws.push_back(q[k]);
+    }
+  }
+
+  double total_seconds =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
+
+  FILE* f = std::fopen(out_path, "wb");
+  if (!f) { std::fprintf(stderr, "cannot open %s\n", out_path); return 1; }
+  int32_t header[3] = {n_chains, n_samp, keep_dims};
+  std::fwrite(header, sizeof(int32_t), 3, f);
+  std::fwrite(draws.data(), sizeof(double), draws.size(), f);
+  std::fclose(f);
+
+  std::printf(
+      "{\"model\": \"%s\", \"chains\": %d, \"warmup\": %d, \"sampling\": %d, "
+      "\"total_seconds\": %.6f, \"warmup_seconds\": %.6f, \"grad_evals\": %ld}\n",
+      model.c_str(), n_chains, n_warm, n_samp, total_seconds, warm_seconds, cnt.grads);
+  return 0;
+}

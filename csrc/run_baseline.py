@@ -1,0 +1,75 @@
+"""Build and run the native single-core WALNUTS baseline, store results.
+
+Produces ``BASELINE_MEASURED.json`` at the repo root with single-core
+ESS/sec for the benchmark targets; ``bench.py`` extrapolates x64 for the
+64-core C++ comparison (BASELINE.md measurement plan).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+from walnuts_tpu.summary import effective_sample_size  # noqa: E402
+
+
+def build() -> str:
+    binary = os.path.join(HERE, "baseline_bench")
+    src = os.path.join(HERE, "baseline_bench.cpp")
+    if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
+        subprocess.check_call(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-o", binary, src]
+        )
+    return binary
+
+
+def run_model(binary: str, model: str, chains: int, warmup: int, sampling: int):
+    with tempfile.NamedTemporaryFile(suffix=".bin") as tmp:
+        out = subprocess.check_output(
+            [binary, model, str(chains), str(warmup), str(sampling), "2026", tmp.name]
+        )
+        stats = json.loads(out.decode())
+        raw = np.fromfile(tmp.name, dtype=np.float64, offset=12)
+        header = np.fromfile(tmp.name, dtype=np.int32, count=3)
+    n_chains, n_samp, keep = header
+    draws = raw.reshape(n_chains, n_samp, keep)
+    ess = effective_sample_size([draws[c] for c in range(n_chains)])
+    sampling_seconds = stats["total_seconds"] - stats["warmup_seconds"]
+    return {
+        f"{model}_ess_median": float(np.median(ess)),
+        f"{model}_sampling_seconds_1core": sampling_seconds,
+        f"{model}_ess_per_sec_1core": float(np.median(ess) / sampling_seconds),
+        f"{model}_grad_evals": stats["grad_evals"],
+        f"{model}_total_seconds_1core": stats["total_seconds"],
+        f"{model}_ess_per_grad": float(
+            np.median(ess) / stats["grad_evals"]
+        ),
+        f"{model}_chains": int(n_chains),
+        f"{model}_sampling_iters": int(n_samp),
+    }
+
+
+def main():
+    binary = build()
+    chains = int(os.environ.get("BASELINE_CHAINS", 16))
+    warmup = int(os.environ.get("BASELINE_WARMUP", 400))
+    sampling = int(os.environ.get("BASELINE_SAMPLING", 400))
+    results = {"note": "single-core native C++ WALNUTS baseline (csrc/baseline_bench.cpp)"}
+    for model in ("funnel", "logreg"):
+        results.update(run_model(binary, model, chains, warmup, sampling))
+        print(model, "done")
+    out_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,302 @@
+"""End-to-end sampling API.
+
+``walnuts`` is the TPU-native counterpart of the reference's
+``walnuts_pyfunc`` (python/src/walnutpie/pyfunc.py:45-286) and of the C++
+driver ``walnutpie::walnuts`` (api.hpp:33-69). The keyword surface and
+defaults match pyfunc.py so reference users can switch directly; the one
+semantic difference is the model argument: instead of a C callback, the
+target is a JAX-traceable function ``theta -> scalar log density`` whose
+gradient comes from autodiff (the callback/FFI path of the reference is
+covered by ``walnuts_tpu.models.stan`` and ``walnuts_pyfunc`` below).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from walnuts_tpu.config import SamplingConfig, WarmupConfig
+from walnuts_tpu.core.adapt import nutpie_init_mass
+from walnuts_tpu.core.sampler import (
+    freeze_params,
+    init_sample_state,
+    init_warmup_state,
+)
+from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
+from walnuts_tpu.parallel.runtime import RunInfo, run_sampling, run_warmup, shard_chains
+from walnuts_tpu.utils.output import WalnutsOutputArray, WarmupInfo, prepare_seed
+
+Array = jax.Array
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def walnuts(
+    logp: Callable[[Array], Array],
+    *,
+    num_params: Optional[int] = None,
+    inits: Optional[np.ndarray] = None,
+    num_chains: int = 4,
+    seed: Optional[int] = None,
+    id: int = 1,
+    init_radius: float = 2.0,
+    init_inv_metric: Optional[np.ndarray] = None,
+    save_inv_metric: bool = False,
+    min_warmup_iter: int = 50,
+    max_warmup_iter: int = 1000,
+    min_sampling_iter: int = 50,
+    max_sampling_iter: int = 1000,
+    max_trajectory_doublings: int = 5,
+    max_step_halvings: int = 5,
+    min_micro_steps: int = 1,
+    max_hamiltonian_error: float = 0.5,
+    step_size_converge_tol: float = 0.1,
+    mass_converge_tol: float = 1.0,
+    rhat_converge_tol: float = 1.01,
+    mass_init_count: float = 4.0,
+    mass_additive_smoothing: float = 1e-5,
+    max_macro_steps_target: float = 15.0,
+    step_size_init: float = 1.0,
+    step_accept_rate_target: float = 0.8,
+    step_learning_rate: float = 0.05,
+    step_gradient_decay: float = 0.8,
+    step_sq_gradient_decay: float = 0.9,
+    step_stabilization: float = 1e-4,
+    step_learn_rate_decay: float = 0.5,
+    save_warmup: bool = False,
+    refresh: int = 0,
+    # TPU-native extensions
+    dtype=None,
+    mesh: Optional[Mesh] = None,
+    adapt_init_step: bool = True,
+    block_size: int = 25,
+    return_info: bool = False,
+) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
+    """Sample from a JAX log density with adaptive WALNUTS.
+
+    Parameters follow ``walnuts_pyfunc`` (pyfunc.py:45-174). Extensions:
+
+    - ``dtype``: computation dtype (defaults to float64 under x64, else
+      float32 — the TPU-native default).
+    - ``mesh``: a ``jax.sharding.Mesh`` with a ``"chains"`` axis to shard
+      chains across devices; ``None`` runs on one device.
+    - ``adapt_init_step``: run the coarse step-size search
+      (util.hpp:285-303) before warmup, as the reference driver does
+      (walnutpy.cpp:75-79).
+    - ``block_size``: iterations per jitted convergence block.
+    - ``return_info``: also return :class:`RunInfo` instrumentation.
+
+    Returns a list of per-chain draw arrays (``shape (draws, dim)``), each
+    carrying ``.warmup`` with the adapted step size, optionally the adapted
+    inverse metric, and optionally the warmup draws.
+    """
+    dtype = dtype or _default_dtype()
+    if num_params is None:
+        if inits is None:
+            raise ValueError("must specify at least one of num_params or inits")
+        init_shape = np.shape(inits)
+        num_params = init_shape[1] if len(init_shape) == 2 else init_shape[0]
+
+    seed = prepare_seed(seed)
+    base_key = jax.random.key(seed)
+    chain_ids = np.arange(id, id + num_chains)
+    chain_keys = jax.vmap(lambda c: jax.random.fold_in(base_key, c))(
+        jnp.asarray(chain_ids)
+    )
+
+    logp_grad = make_logp_grad(logp)
+
+    # --- initial positions (pyfunc.py:194-203; walnutpy.cpp:172-190) ---
+    if inits is not None:
+        inits = np.asarray(inits, dtype=np.float64)
+        if inits.shape == (num_params,):
+            inits = np.repeat(inits[np.newaxis], num_chains, axis=0)
+        elif inits.shape != (num_chains, num_params):
+            raise ValueError(
+                f"Invalid inits size. Expected a {(num_params,)} "
+                f"or {(num_chains, num_params)} matrix."
+            )
+        theta0 = jnp.asarray(inits, dtype=dtype)
+    else:
+        init_key = jax.random.fold_in(base_key, 0xFFFFFFFF)
+        theta0 = init_radius * jax.random.normal(
+            init_key, (num_chains, num_params), dtype=dtype
+        )
+
+    # --- initial mass: explicit inverse metric or the Nutpie gradient rule
+    # (walnutpy.cpp:64-73, config.hpp:360-382) ---
+    if init_inv_metric is not None:
+        inv_metric = np.asarray(init_inv_metric, dtype=np.float64)
+        if inv_metric.shape == (num_params,):
+            inv_metric = np.repeat(inv_metric[np.newaxis], num_chains, axis=0)
+        elif inv_metric.shape != (num_chains, num_params):
+            raise ValueError(
+                f"Invalid init_inv_metric size. Expected {(num_params,)} "
+                f"or {(num_chains, num_params)}."
+            )
+        if not np.all(np.isfinite(inv_metric)) or np.any(inv_metric <= 0):
+            raise ValueError("init_inv_metric must be finite and positive")
+        init_mass = jnp.asarray(1.0 / inv_metric, dtype=dtype)
+    else:
+        grads = jax.vmap(lambda t: logp_grad(t)[1])(theta0)
+        init_mass = jax.vmap(
+            lambda g: nutpie_init_mass(g, jnp.asarray(mass_additive_smoothing, dtype))
+        )(grads)
+
+    # --- initial step sizes, optionally heuristically adapted
+    # (walnutpy.cpp:75-79 -> util.hpp:285-303) ---
+    step0 = jnp.full((num_chains,), step_size_init, dtype=dtype)
+    if adapt_init_step:
+        step_keys = jax.vmap(lambda c: jax.random.fold_in(base_key, c))(
+            jnp.asarray(chain_ids + num_chains)
+        )
+        step0 = jax.jit(
+            jax.vmap(lambda k, t, m, s: adapt_step_size(k, logp_grad, t, m, s))
+        )(step_keys, theta0, init_mass, step0)
+
+    warmup_cfg = WarmupConfig(
+        min_iter=min_warmup_iter,
+        max_iter=max_warmup_iter,
+        step_size_converge_tol=step_size_converge_tol,
+        mass_converge_tol=mass_converge_tol,
+        mass_init_count=mass_init_count,
+        mass_additive_smoothing=mass_additive_smoothing,
+        max_macro_steps_target=max_macro_steps_target,
+        step_size_init=step_size_init,
+        step_accept_rate_target=step_accept_rate_target,
+        step_learning_rate=step_learning_rate,
+        step_gradient_decay=step_gradient_decay,
+        step_sq_gradient_decay=step_sq_gradient_decay,
+        step_stabilization=step_stabilization,
+        step_learn_rate_decay=step_learn_rate_decay,
+        block_size=block_size,
+    )
+    sampling_cfg = SamplingConfig(
+        min_iter=min_sampling_iter,
+        max_iter=max_sampling_iter,
+        max_trajectory_doublings=max_trajectory_doublings,
+        max_step_halvings=max_step_halvings,
+        min_micro_steps=min_micro_steps,
+        max_hamiltonian_error=max_hamiltonian_error,
+        rhat_converge_tol=rhat_converge_tol,
+        block_size=block_size,
+    )
+
+    progress = None
+    if refresh > 0:
+        def progress(phase: str, iteration: int) -> None:
+            if iteration % refresh == 0 or iteration == 0:
+                print(f"All chains: Iteration {iteration} ({phase.capitalize()})")
+
+    # --- warmup ---
+    wstate = jax.vmap(
+        lambda k, t, m, s: init_warmup_state(k, t, m, s, warmup_cfg, sampling_cfg)
+    )(chain_keys, theta0, init_mass, step0)
+    wstate, warmup_draws, _warmup_logps, info = run_warmup(
+        logp_grad, wstate, warmup_cfg, sampling_cfg,
+        save_warmup=save_warmup, mesh=mesh, progress=progress,
+    )
+
+    # --- freeze and sample (api.hpp:61-67) ---
+    params = jax.vmap(freeze_params)(wstate)
+    sstate = jax.vmap(init_sample_state)(wstate)
+    sstate, draws, _logps, info = run_sampling(
+        logp_grad, sstate, params, sampling_cfg,
+        mesh=mesh, info=info, progress=progress,
+    )
+
+    step_sizes = np.asarray(params.step_size)
+    inv_metric_out = np.asarray(params.inv_mass) if save_inv_metric else None
+
+    outputs: List[WalnutsOutputArray] = []
+    for c in range(num_chains):
+        wi = WarmupInfo(
+            stepsize=float(step_sizes[c]),
+            inv_metric=inv_metric_out[c] if inv_metric_out is not None else None,
+            warmup_draws=warmup_draws[:, c, :] if warmup_draws is not None else None,
+        )
+        outputs.append(WalnutsOutputArray(draws[:, c, :], wi))
+
+    if return_info:
+        return outputs, info
+    return outputs
+
+
+def walnuts_pyfunc(
+    logp: Callable[[np.ndarray], Tuple[float, np.ndarray]],
+    **kwargs,
+) -> List[WalnutsOutputArray]:
+    """Compatibility shim for the reference's plain-Python-callable path.
+
+    Accepts a function returning ``(logp, grad)`` on NumPy arrays — the
+    reference trampoline signature (pyfunc.py:32-42) — and bridges it into
+    the jitted sampler with ``jax.pure_callback``. One host callback per
+    gradient evaluation: slow (as the reference's ctypes trampoline is,
+    pyfunc.py:205 comment) but exact. Prefer a JAX-traceable density with
+    :func:`walnuts`.
+    """
+    num_params = kwargs.get("num_params")
+    inits = kwargs.get("inits")
+    if num_params is None:
+        if inits is None:
+            raise ValueError("must specify at least one of num_params or inits")
+        shape = np.shape(inits)
+        num_params = shape[1] if len(shape) == 2 else shape[0]
+        kwargs["num_params"] = num_params
+
+    def host_logp(theta_np: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        try:
+            lp, grad = logp(np.asarray(theta_np, dtype=np.float64))
+            return (
+                np.asarray(lp, dtype=np.float64),
+                np.asarray(grad, dtype=np.float64),
+            )
+        except Exception:
+            # the NoExceptLogpGrad trap (util.hpp:336-346)
+            return (
+                np.asarray(-np.inf, dtype=np.float64),
+                np.zeros(theta_np.shape, dtype=np.float64),
+            )
+
+    def traced_logp(theta: Array) -> Array:
+        lp, _ = jax.pure_callback(
+            host_logp,
+            (
+                jax.ShapeDtypeStruct((), theta.dtype),
+                jax.ShapeDtypeStruct(theta.shape, theta.dtype),
+            ),
+            theta,
+            vmap_method="sequential",
+        )
+        return lp
+
+    # Autodiff cannot see through the callback: wire the callback's own
+    # gradient in with custom_vjp-free value_and_grad replacement.
+    @jax.custom_jvp
+    def logp_fn(theta: Array) -> Array:
+        return traced_logp(theta)
+
+    @logp_fn.defjvp
+    def _logp_jvp(primals, tangents):
+        (theta,), (dtheta,) = primals, tangents
+        lp, grad = jax.pure_callback(
+            host_logp,
+            (
+                jax.ShapeDtypeStruct((), theta.dtype),
+                jax.ShapeDtypeStruct(theta.shape, theta.dtype),
+            ),
+            theta,
+            vmap_method="sequential",
+        )
+        return lp, jnp.sum(grad * dtheta)
+
+    return walnuts(logp_fn, **kwargs)
+
+
+__all__ = ["walnuts", "walnuts_pyfunc"]

@@ -64,6 +64,9 @@ class SamplingConfig:
         (finite, positive).
       rhat_converge_tol: cross-chain R-hat threshold for early stopping
         of sampling (> 1).
+      block_size: iterations per jitted convergence block (the TPU-native
+        analog of the reference controller's polling cadence,
+        sampler.hpp:121).
     """
 
     min_iter: int = 50
@@ -73,6 +76,7 @@ class SamplingConfig:
     min_micro_steps: int = 1
     max_hamiltonian_error: float = 0.5
     rhat_converge_tol: float = 1.01
+    block_size: int = 25
 
     def __post_init__(self) -> None:
         _check_nonnegative_int(self.min_iter, "min_iter")
@@ -91,6 +95,7 @@ class SamplingConfig:
                 "rhat_converge_tol must be finite and > 1; found "
                 f"rhat_converge_tol = {self.rhat_converge_tol}"
             )
+        _check_positive_int(self.block_size, "block_size")
 
 
 @dataclass(frozen=True)

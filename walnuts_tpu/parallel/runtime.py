@@ -1,0 +1,248 @@
+"""Multi-chain runtime: block-synchronous warmup and sampling over a mesh.
+
+The reference runs one OS thread per chain with a lock-free SPSC mailbox
+per chain and a polling controller (``adapt.hpp:79-259``,
+``sampler.hpp:47-192``). On TPU the chains are a vmapped batch axis sharded
+across the device mesh; the asynchronous controller becomes a deterministic
+*block-synchronous* loop: chains advance in lockstep blocks of
+``block_size`` iterations inside one jitted scan, and the cross-chain
+convergence reduction (the geometric-mean test during warmup,
+adapt.hpp:203-225; the log-density R-hat during sampling,
+sampler.hpp:142-152) runs between blocks as an XLA collective over the
+sharded chain axis. Early stopping therefore happens at block granularity
+and every chain gets the same realized length, which keeps the reference's
+``[min_iter, max_iter]`` contract while removing its documented
+nondeterminism (docs/py.rst "Note on reproducibility").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from walnuts_tpu.config import SamplingConfig, WarmupConfig
+from walnuts_tpu.core.adapt import mass_estimator_inv_mass
+from walnuts_tpu.core.sampler import (
+    FrozenParams,
+    SampleState,
+    WarmupState,
+    freeze_params,
+    init_sample_state,
+    make_sample_step,
+    make_warmup_step,
+)
+from walnuts_tpu.ops.math import LogpGradFn
+
+Array = jax.Array
+
+CHAIN_AXIS = "chains"
+
+
+def chain_sharding(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
+    """Sharding that splits the leading (chain) axis over the mesh."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(CHAIN_AXIS))
+
+
+def shard_chains(tree, mesh: Optional[Mesh]):
+    """Place a chain-batched pytree with its leading axis sharded."""
+    if mesh is None:
+        return tree
+    sharding = chain_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+@dataclass
+class RunInfo:
+    """Realized iteration counts and instrumentation for a run.
+
+    ``n_grads`` is the per-chain count of gradient evaluations actually
+    used (the reference's profiling counter, stan_cli.cpp:121-139);
+    ``rhat_trace`` records the controller's R-hat sequence (the
+    ``on_r_hat`` callback payload, sampler.hpp:146).
+    """
+
+    warmup_iters: int = 0
+    sampling_iters: int = 0
+    n_grads: Optional[np.ndarray] = None
+    rhat_trace: List[float] = field(default_factory=list)
+    converged_warmup: bool = False
+    converged_sampling: bool = False
+
+
+def _warmup_convergence_stats(state: WarmupState) -> Tuple[Array, Array]:
+    """Cross-chain adaptation-convergence reduction (adapt.hpp:203-225).
+
+    Computes the max relative L2 difference of the per-chain mass diagonal
+    from the cross-chain geometric mean, and the max *signed* relative
+    difference of the per-chain step size from its geometric mean (the
+    reference takes ``fmax`` over signed values).
+    """
+    inv_mass = jax.vmap(mass_estimator_inv_mass)(state.mass)  # (C, D)
+    log_mass = -jnp.log(inv_mass)
+    geo_mass = jnp.exp(jnp.mean(log_mass, axis=0))  # (D,)
+    mass = jnp.exp(log_mass)
+    rel_mass = jnp.linalg.norm((mass - geo_mass) / geo_mass, axis=1)  # (C,)
+    max_rel_mass = jnp.max(rel_mass)
+
+    log_step = state.adam.log_step  # (C,)
+    geo_step = jnp.exp(jnp.mean(log_step))
+    rel_step = (jnp.exp(log_step) - geo_step) / geo_step
+    max_rel_step = jnp.max(rel_step)
+    return max_rel_mass, max_rel_step
+
+
+def _sampling_rhat(state: SampleState) -> Array:
+    """Cross-chain split-free R-hat of the draw log densities
+    (sampler.hpp:142-145): ``sqrt(1 + var(chain means) / mean(chain vars))``
+    with sample (ddof=1) variances."""
+    means = state.lp_mean
+    variances = state.lp_m2 / jnp.maximum(state.lp_count - 1.0, 1.0)
+    var_of_means = jnp.var(means, ddof=1)
+    return jnp.sqrt(1.0 + var_of_means / jnp.mean(variances))
+
+
+def run_warmup(
+    logp_grad: LogpGradFn,
+    state: WarmupState,
+    warmup_cfg: WarmupConfig,
+    sampling_cfg: SamplingConfig,
+    *,
+    save_warmup: bool = False,
+    mesh: Optional[Mesh] = None,
+    progress=None,
+) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
+    """Run adaptive warmup with block-synchronous early stopping.
+
+    ``state`` is a chain-batched ``WarmupState`` (built by vmapping
+    ``init_warmup_state``). Returns the final state, optionally the stacked
+    warmup draws ``(iters, C, D)`` and their log densities ``(iters, C)``,
+    and run info.
+    """
+    state = shard_chains(state, mesh)
+    warmup_step = make_warmup_step(logp_grad, sampling_cfg)
+    vstep = jax.vmap(warmup_step)
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run_block(s: WarmupState, n: int):
+        def body(s, _):
+            s, out = vstep(s)
+            return s, (out.theta, out.logp) if save_warmup else None
+        return jax.lax.scan(body, s, None, length=n)
+
+    stats = jax.jit(_warmup_convergence_stats)
+
+    info = RunInfo()
+    draws_host: List[np.ndarray] = []
+    logps_host: List[np.ndarray] = []
+    it = 0
+    converged = False
+
+    def check() -> bool:
+        mrm, mrs = stats(state)
+        return bool(
+            (mrm <= warmup_cfg.mass_converge_tol)
+            & (mrs <= warmup_cfg.step_size_converge_tol)
+        )
+
+    if warmup_cfg.min_iter == 0 and warmup_cfg.max_iter > 0:
+        converged = check()
+
+    while it < warmup_cfg.max_iter and not converged:
+        if it < warmup_cfg.min_iter:
+            n = warmup_cfg.min_iter - it
+        else:
+            n = min(warmup_cfg.block_size, warmup_cfg.max_iter - it)
+        state, outs = run_block(state, n)
+        it += n
+        if save_warmup:
+            draws_host.append(np.asarray(outs[0]))
+            logps_host.append(np.asarray(outs[1]))
+        if progress is not None:
+            progress("warmup", it)
+        if it >= warmup_cfg.min_iter and it < warmup_cfg.max_iter:
+            converged = check()
+
+    info.warmup_iters = it
+    info.converged_warmup = converged
+    warmup_draws = np.concatenate(draws_host, axis=0) if draws_host else None
+    warmup_logps = np.concatenate(logps_host, axis=0) if logps_host else None
+    return state, warmup_draws, warmup_logps, info
+
+
+def run_sampling(
+    logp_grad: LogpGradFn,
+    state: SampleState,
+    params: FrozenParams,
+    sampling_cfg: SamplingConfig,
+    *,
+    mesh: Optional[Mesh] = None,
+    info: Optional[RunInfo] = None,
+    progress=None,
+    on_r_hat=None,
+) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
+    """Run fixed-parameter sampling with R-hat early stopping.
+
+    Returns the final state, the draws ``(iters, C, D)``, their position
+    log densities ``(iters, C)``, and run info.
+    """
+    state = shard_chains(state, mesh)
+    params = shard_chains(params, mesh)
+    sample_step = make_sample_step(logp_grad, sampling_cfg)
+    vstep = jax.vmap(sample_step)
+
+    @partial(jax.jit, static_argnums=2, donate_argnums=0)
+    def run_block(s: SampleState, p: FrozenParams, n: int):
+        def body(s, _):
+            s, res = vstep(s, p)
+            return s, (res.theta, res.logp)
+        return jax.lax.scan(body, s, None, length=n)
+
+    rhat_fn = jax.jit(_sampling_rhat)
+
+    info = info or RunInfo()
+    draws_host: List[np.ndarray] = []
+    logps_host: List[np.ndarray] = []
+    it = 0
+    converged = False
+    while it < sampling_cfg.max_iter and not converged:
+        if it < sampling_cfg.min_iter:
+            n = sampling_cfg.min_iter - it
+        else:
+            n = min(sampling_cfg.block_size, sampling_cfg.max_iter - it)
+        state, (theta, logp) = run_block(state, params, n)
+        it += n
+        draws_host.append(np.asarray(theta))
+        logps_host.append(np.asarray(logp))
+        if progress is not None:
+            progress("sampling", it)
+        if it >= max(sampling_cfg.min_iter, 2) and it < sampling_cfg.max_iter:
+            r = float(rhat_fn(state))
+            info.rhat_trace.append(r)
+            if on_r_hat is not None:
+                on_r_hat(r)
+            converged = r <= sampling_cfg.rhat_converge_tol
+
+    info.sampling_iters = it
+    info.converged_sampling = converged
+    info.n_grads = np.asarray(state.n_grads)
+    draws = np.concatenate(draws_host, axis=0) if draws_host else np.empty((0,))
+    logps = np.concatenate(logps_host, axis=0) if logps_host else np.empty((0,))
+    return state, draws, logps, info
+
+
+__all__ = [
+    "CHAIN_AXIS",
+    "RunInfo",
+    "chain_sharding",
+    "run_sampling",
+    "run_warmup",
+    "shard_chains",
+]
