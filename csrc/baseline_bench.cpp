@@ -58,6 +58,22 @@ struct LogReg : Target {
   int n_obs, n_cov;
   std::vector<double> x;   // row-major n_obs x n_cov, with intercept column
   std::vector<double> y;   // +/- 1
+  // Load the exact dataset the Python model uses (written by
+  // csrc/run_baseline.py) so ESS-per-gradient is compared on the same
+  // posterior. Format: int32 n, p; double x[n*p]; double y[n].
+  explicit LogReg(const char* data_path) {
+    FILE* f = std::fopen(data_path, "rb");
+    if (!f) { std::perror("logreg data"); std::exit(1); }
+    int32_t hdr[2];
+    if (std::fread(hdr, sizeof(int32_t), 2, f) != 2) std::exit(1);
+    n_obs = hdr[0];
+    n_cov = hdr[1];
+    x.resize(static_cast<size_t>(n_obs) * n_cov);
+    y.resize(n_obs);
+    if (std::fread(x.data(), sizeof(double), x.size(), f) != x.size()) std::exit(1);
+    if (std::fread(y.data(), sizeof(double), y.size(), f) != y.size()) std::exit(1);
+    std::fclose(f);
+  }
   LogReg(int n, int p, uint64_t seed) : n_obs(n), n_cov(p), x(n * p), y(n) {
     std::mt19937_64 rng(seed);
     std::normal_distribution<double> nd(0.0, 1.0);
@@ -344,6 +360,7 @@ int main(int argc, char** argv) {
 
   std::unique_ptr<Target> tgt;
   if (model == "funnel") tgt = std::make_unique<Funnel>(101);
+  else if (argc > 7) tgt = std::make_unique<LogReg>(argv[7]);
   else tgt = std::make_unique<LogReg>(1000, 25, 20260816ULL);
   const int d = tgt->dim();
   const int keep_dims = std::min(d, 17);

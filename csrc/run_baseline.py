@@ -30,10 +30,30 @@ def build() -> str:
     return binary
 
 
+def export_logreg_data(path: str) -> None:
+    """Write the Python logistic-regression dataset for the C++ bench so
+    both implementations sample the SAME posterior."""
+    import struct
+
+    from walnuts_tpu.models.targets import logistic_regression_data
+
+    design, y_sign = logistic_regression_data()
+    with open(path, "wb") as f:
+        f.write(struct.pack("ii", design.shape[0], design.shape[1]))
+        design.astype(np.float64).tofile(f)
+        y_sign.astype(np.float64).tofile(f)
+
+
 def run_model(binary: str, model: str, chains: int, warmup: int, sampling: int):
+    extra = []
+    if model == "logreg":
+        data_path = os.path.join(HERE, "logreg_data.bin")
+        export_logreg_data(data_path)
+        extra = [data_path]
     with tempfile.NamedTemporaryFile(suffix=".bin") as tmp:
         out = subprocess.check_output(
             [binary, model, str(chains), str(warmup), str(sampling), "2026", tmp.name]
+            + extra
         )
         stats = json.loads(out.decode())
         raw = np.fromfile(tmp.name, dtype=np.float64, offset=12)

@@ -77,6 +77,8 @@ def walnuts(
     adapt_init_step: bool = True,
     block_size: int = 25,
     return_info: bool = False,
+    profile_dir: Optional[str] = None,
+    fused: bool = False,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -91,6 +93,12 @@ def walnuts(
       (walnutpy.cpp:75-79).
     - ``block_size``: iterations per jitted convergence block.
     - ``return_info``: also return :class:`RunInfo` instrumentation.
+    - ``profile_dir``: write a ``jax.profiler`` trace of the run there (the
+      TPU counterpart of the reference CLI's built-in timing profile,
+      stan_cli.cpp:121-139, which is also available via ``RunInfo.n_grads``).
+    - ``fused``: when True, ``logp`` already has the fused signature
+      ``theta -> (logp, grad)`` (e.g. a Pallas kernel from
+      ``walnuts_tpu.ops.pallas_kernels``) and autodiff is bypassed.
 
     Returns a list of per-chain draw arrays (``shape (draws, dim)``), each
     carrying ``.warmup`` with the adapted step size, optionally the adapted
@@ -110,7 +118,14 @@ def walnuts(
         jnp.asarray(chain_ids)
     )
 
-    logp_grad = make_logp_grad(logp)
+    if fused:
+        from walnuts_tpu.ops.math import sanitize_logp_grad
+
+        def logp_grad(theta):
+            lp, grad = logp(theta)
+            return sanitize_logp_grad(lp, grad)
+    else:
+        logp_grad = make_logp_grad(logp)
 
     # --- initial positions (pyfunc.py:194-203; walnutpy.cpp:172-190) ---
     if inits is not None:
@@ -194,22 +209,33 @@ def walnuts(
             if iteration % refresh == 0 or iteration == 0:
                 print(f"All chains: Iteration {iteration} ({phase.capitalize()})")
 
-    # --- warmup ---
-    wstate = jax.vmap(
-        lambda k, t, m, s: init_warmup_state(k, t, m, s, warmup_cfg, sampling_cfg)
-    )(chain_keys, theta0, init_mass, step0)
-    wstate, warmup_draws, _warmup_logps, info = run_warmup(
-        logp_grad, wstate, warmup_cfg, sampling_cfg,
-        save_warmup=save_warmup, mesh=mesh, progress=progress,
-    )
+    import contextlib
 
-    # --- freeze and sample (api.hpp:61-67) ---
-    params = jax.vmap(freeze_params)(wstate)
-    sstate = jax.vmap(init_sample_state)(wstate)
-    sstate, draws, _logps, info = run_sampling(
-        logp_grad, sstate, params, sampling_cfg,
-        mesh=mesh, info=info, progress=progress,
+    profiler_ctx = (
+        jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
     )
+    with profiler_ctx:
+        # --- warmup ---
+        wstate = jax.vmap(
+            lambda k, t, m, s: init_warmup_state(k, t, m, s, warmup_cfg, sampling_cfg)
+        )(chain_keys, theta0, init_mass, step0)
+        wstate, warmup_draws, _warmup_logps, info = run_warmup(
+            logp_grad, wstate, warmup_cfg, sampling_cfg,
+            save_warmup=save_warmup, mesh=mesh, progress=progress,
+        )
+
+        # --- freeze and sample (api.hpp:61-67) ---
+        params = jax.vmap(freeze_params)(wstate)
+        if info.interrupted:
+            # Ctrl-C during warmup: stop the run; report the adaptation
+            # reached so far with zero sampling draws.
+            draws = np.zeros((0, num_chains, num_params))
+        else:
+            sstate = jax.vmap(init_sample_state)(wstate)
+            sstate, draws, _logps, info = run_sampling(
+                logp_grad, sstate, params, sampling_cfg,
+                mesh=mesh, info=info, progress=progress,
+            )
 
     step_sizes = np.asarray(params.step_size)
     inv_metric_out = np.asarray(params.inv_mass) if save_inv_metric else None

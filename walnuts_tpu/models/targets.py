@@ -132,6 +132,26 @@ def eight_schools() -> Target:
     return logp, 10
 
 
+def logistic_regression_data(
+    num_data: int = 1000, dim: int = 25, seed: int = 20260816
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic logistic-regression dataset.
+
+    Returns ``(design, y_sign)`` with an intercept column, standardized
+    covariates, and labels in {-1, +1}. Shared with the native baseline
+    benchmark (csrc/run_baseline.py) so both samplers target the same
+    posterior.
+    """
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((num_data, dim - 1))
+    x = (x - x.mean(axis=0)) / x.std(axis=0)
+    design = np.concatenate([np.ones((num_data, 1)), x], axis=1)
+    beta_true = rng.standard_normal(dim) * 0.5
+    logits = design @ beta_true
+    labels = (rng.random(num_data) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float64)
+    return design, 2.0 * labels - 1.0
+
+
 def logistic_regression(
     num_data: int = 1000,
     dim: int = 25,
@@ -147,19 +167,19 @@ def logistic_regression(
     on the coefficients. The gradient is one matvec each way, which XLA
     maps onto the MXU when chains are batched.
     """
-    rng = np.random.default_rng(seed)
-    x = rng.standard_normal((num_data, dim - 1))
-    x = (x - x.mean(axis=0)) / x.std(axis=0)
-    design = np.concatenate([np.ones((num_data, 1)), x], axis=1)
-    beta_true = rng.standard_normal(dim) * 0.5
-    logits = design @ beta_true
-    labels = (rng.random(num_data) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float64)
+    design, y_sign_np = logistic_regression_data(num_data, dim, seed)
     design_j = jnp.asarray(design)
     # y in {-1, +1} lets logp be a single log_sigmoid over y * logits.
-    y_sign = jnp.asarray(2.0 * labels - 1.0)
+    y_sign = jnp.asarray(y_sign_np)
 
     def logp(theta: Array) -> Array:
-        logits = design_j.astype(theta.dtype) @ theta
+        # HIGHEST matmul precision: the TPU MXU's default bf16 passes put
+        # O(0.1-1) noise on a 1000-term log likelihood, which breaks the
+        # sampler's |dH| <= max_error test; full f32 passes restore it.
+        logits = jnp.dot(
+            design_j.astype(theta.dtype), theta,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         lp_lik = jnp.sum(jax.nn.log_sigmoid(y_sign.astype(theta.dtype) * logits))
         lp_prior = -0.5 * jnp.sum(jnp.square(theta))
         return lp_lik + lp_prior

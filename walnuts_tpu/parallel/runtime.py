@@ -75,6 +75,7 @@ class RunInfo:
     rhat_trace: List[float] = field(default_factory=list)
     converged_warmup: bool = False
     converged_sampling: bool = False
+    interrupted: bool = False
 
 
 def _warmup_convergence_stats(state: WarmupState) -> Tuple[Array, Array]:
@@ -155,23 +156,31 @@ def run_warmup(
     if warmup_cfg.min_iter == 0 and warmup_cfg.max_iter > 0:
         converged = check()
 
-    while it < warmup_cfg.max_iter and not converged:
-        # uniform block lengths (at most two distinct scan lengths compile:
-        # the block size and one remainder), with convergence checked only
-        # once min_iter is reached — same [min, max] contract, without a
-        # per-configuration recompile of the first block.
-        n = min(warmup_cfg.block_size, warmup_cfg.max_iter - it)
-        if it < warmup_cfg.min_iter:
-            n = min(n, warmup_cfg.min_iter - it)
-        state, outs = run_block(state, n)
-        it += n
-        if save_warmup:
-            draws_host.append(np.asarray(outs[0]))
-            logps_host.append(np.asarray(outs[1]))
-        if progress is not None:
-            progress("warmup", it)
-        if it >= warmup_cfg.min_iter and it < warmup_cfg.max_iter:
-            converged = check()
+    # A KeyboardInterrupt (the reference's SIGINT path, interrupts.hpp:34-102)
+    # lands between blocks: adaptation state accumulated so far is kept and
+    # warmup ends early rather than tearing the run down.
+    try:
+        while it < warmup_cfg.max_iter and not converged:
+            # uniform block lengths (at most two distinct scan lengths
+            # compile: the block size and one remainder), with convergence
+            # checked only once min_iter is reached — same [min, max]
+            # contract, without a per-configuration recompile of the first
+            # block.
+            n = min(warmup_cfg.block_size, warmup_cfg.max_iter - it)
+            if it < warmup_cfg.min_iter:
+                n = min(n, warmup_cfg.min_iter - it)
+            state, outs = run_block(state, n)
+            it += n
+            if save_warmup:
+                draws_host.append(np.asarray(outs[0]))
+                logps_host.append(np.asarray(outs[1]))
+            if progress is not None:
+                progress("warmup", it)
+            if it >= warmup_cfg.min_iter and it < warmup_cfg.max_iter:
+                converged = check()
+    except KeyboardInterrupt:
+        info.interrupted = True
+        jax.block_until_ready(state)
 
     info.warmup_iters = it
     info.converged_warmup = converged
@@ -215,22 +224,29 @@ def run_sampling(
     logps_host: List[np.ndarray] = []
     it = 0
     converged = False
-    while it < sampling_cfg.max_iter and not converged:
-        n = min(sampling_cfg.block_size, sampling_cfg.max_iter - it)
-        if it < sampling_cfg.min_iter:
-            n = min(n, sampling_cfg.min_iter - it)
-        state, (theta, logp) = run_block(state, params, n)
-        it += n
-        draws_host.append(np.asarray(theta))
-        logps_host.append(np.asarray(logp))
-        if progress is not None:
-            progress("sampling", it)
-        if it >= max(sampling_cfg.min_iter, 2) and it < sampling_cfg.max_iter:
-            r = float(rhat_fn(state))
-            info.rhat_trace.append(r)
-            if on_r_hat is not None:
-                on_r_hat(r)
-            converged = r <= sampling_cfg.rhat_converge_tol
+    # On KeyboardInterrupt the draws collected so far are returned (the
+    # reference's interrupt path likewise leaves the already-written
+    # buffers with the caller).
+    try:
+        while it < sampling_cfg.max_iter and not converged:
+            n = min(sampling_cfg.block_size, sampling_cfg.max_iter - it)
+            if it < sampling_cfg.min_iter:
+                n = min(n, sampling_cfg.min_iter - it)
+            state, (theta, logp) = run_block(state, params, n)
+            it += n
+            draws_host.append(np.asarray(theta))
+            logps_host.append(np.asarray(logp))
+            if progress is not None:
+                progress("sampling", it)
+            if it >= max(sampling_cfg.min_iter, 2) and it < sampling_cfg.max_iter:
+                r = float(rhat_fn(state))
+                info.rhat_trace.append(r)
+                if on_r_hat is not None:
+                    on_r_hat(r)
+                converged = r <= sampling_cfg.rhat_converge_tol
+    except KeyboardInterrupt:
+        info.interrupted = True
+        jax.block_until_ready(state)
 
     info.sampling_iters = it
     info.converged_sampling = converged
