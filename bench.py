@@ -6,89 +6,123 @@ Prints ONE JSON line:
 Measures ESS/sec (and grad-evals/sec) for the BASELINE.json benchmark:
 4096 vmapped adaptive-WALNUTS chains on Neal's funnel and the
 German-credit-shaped logistic regression, fixed iteration counts
-(determinism), float32 on TPU.
+(deterministic), float32 on TPU. Warmup and sampling are timed separately;
+programs are compiled by a first identical run before the timed run.
 
 ``vs_baseline`` compares against a 64-core C++ WALNUTS baseline
 extrapolated from the single-core native benchmark in
 ``csrc/baseline_bench.cpp`` (the reference publishes no numbers —
-BASELINE.md). The measured single-core number is stored in
-``BASELINE_MEASURED.json`` by ``python csrc/run_baseline.py``.
+BASELINE.md). The measured single-core numbers live in
+``BASELINE_MEASURED.json`` (written by ``python csrc/run_baseline.py``);
+for the logistic regression both samplers target the exact same dataset.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
 
-def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
+def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtype):
+    """One full warmup+sampling pipeline with separate phase timings."""
     import jax
     import jax.numpy as jnp
 
-    from walnuts_tpu import walnuts
+    from walnuts_tpu.config import SamplingConfig, WarmupConfig
+    from walnuts_tpu.core.adapt import nutpie_init_mass
+    from walnuts_tpu.core.sampler import (
+        freeze_params,
+        init_sample_state,
+        init_warmup_state,
+    )
+    from walnuts_tpu.ops.math import adapt_step_size
+    from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
+
+    warmup_cfg = WarmupConfig(
+        min_iter=warmup_iters, max_iter=warmup_iters, block_size=warmup_iters
+    )
+    sampling_cfg = SamplingConfig(
+        min_iter=sampling_iters, max_iter=sampling_iters, block_size=sampling_iters
+    )
+
+    base = jax.random.key(seed)
+    keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(jnp.arange(n_chains))
+    theta0 = 2.0 * jax.random.normal(
+        jax.random.fold_in(base, 0xFFFFFFFF), (n_chains, dim), dtype=dtype
+    )
+    grads = jax.vmap(lambda t: logp_grad(t)[1])(theta0)
+    init_mass = jax.vmap(lambda g: nutpie_init_mass(g, jnp.asarray(1e-5, dtype)))(grads)
+    step_keys = jax.vmap(lambda c: jax.random.fold_in(base, c + n_chains))(
+        jnp.arange(n_chains)
+    )
+    step0 = jax.jit(
+        jax.vmap(lambda k, t, m: adapt_step_size(k, logp_grad, t, m, jnp.asarray(1.0, dtype)))
+    )(step_keys, theta0, init_mass)
+    jax.block_until_ready(step0)
+
+    wstate = jax.vmap(
+        lambda k, t, m, s: init_warmup_state(k, t, m, s, warmup_cfg, sampling_cfg)
+    )(keys, theta0, init_mass, step0)
+
+    t0 = time.time()
+    wstate, _, _, info = run_warmup(logp_grad, wstate, warmup_cfg, sampling_cfg)
+    warmup_time = time.time() - t0
+    warmup_grads = int(np.sum(np.asarray(wstate.n_grads)))
+
+    params = jax.vmap(freeze_params)(wstate)
+    sstate = jax.vmap(init_sample_state)(wstate)
+    t0 = time.time()
+    sstate, draws, _, info = run_sampling(
+        logp_grad, sstate, params, sampling_cfg, info=info
+    )
+    sampling_time = time.time() - t0
+    total_grads = int(np.sum(info.n_grads))
+    return {
+        "draws": draws,  # (iters, C, D)
+        "warmup_time": warmup_time,
+        "sampling_time": sampling_time,
+        "warmup_grads": warmup_grads,
+        "sampling_grads": total_grads - warmup_grads,
+        "total_grads": total_grads,
+    }
+
+
+def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
+    import jax.numpy as jnp
+
     from walnuts_tpu.models import funnel, logistic_regression
+    from walnuts_tpu.ops.math import make_logp_grad
     from walnuts_tpu.summary import effective_sample_size
 
     if model_name == "funnel":
         logp, dim = funnel(101)
     else:
         logp, dim = logistic_regression()
+    logp_grad = make_logp_grad(logp)
 
-    # compile + warmup phase (not timed as sampling throughput)
-    out, info = walnuts(
-        logp,
-        num_params=dim,
-        num_chains=n_chains,
-        seed=seed,
-        min_warmup_iter=warmup_iters,
-        max_warmup_iter=warmup_iters,
-        min_sampling_iter=sampling_iters,
-        max_sampling_iter=sampling_iters,
-        block_size=sampling_iters,
-        dtype=jnp.float32,
-        return_info=True,
-    )
-    # timed run: rebuild the sampling pass alone is awkward through the
-    # high-level API, so time a second identical run end-to-end and
-    # subtract nothing — instead we time the sampling blocks directly by
-    # re-running with the same fixed lengths and measuring wall time of the
-    # whole call, then attribute by iteration counts.
-    t0 = time.time()
-    out2, info2 = walnuts(
-        logp,
-        num_params=dim,
-        num_chains=n_chains,
-        seed=seed + 1,
-        min_warmup_iter=warmup_iters,
-        max_warmup_iter=warmup_iters,
-        min_sampling_iter=sampling_iters,
-        max_sampling_iter=sampling_iters,
-        block_size=sampling_iters,
-        dtype=jnp.float32,
-        return_info=True,
-    )
-    elapsed = time.time() - t0
+    # compile pass (identical shapes; the timed run below reuses programs
+    # through jit caches within this process)
+    _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed,
+              jnp.float32)
+    r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
+                  seed + 1, jnp.float32)
 
-    draws = np.stack([np.asarray(c) for c in out2], axis=0)  # (C, N, D)
-    # ESS over a representative subset of dims (all dims for logreg; the
-    # funnel's v plus 16 x's) to bound summary cost
+    draws = np.moveaxis(r.pop("draws"), 0, 1)  # (C, iters, D)
     subset = draws if draws.shape[-1] <= 32 else draws[:, :, :17]
-    ess = effective_sample_size(subset)
-    total_grads = int(np.sum(info2.n_grads))
-    sampling_fraction = sampling_iters / (warmup_iters + sampling_iters)
-    sampling_time = elapsed * sampling_fraction
+    ess = effective_sample_size([subset[c] for c in range(subset.shape[0])])
+    total_time = r["warmup_time"] + r["sampling_time"]
     return {
         "model": model_name,
         "dim": dim,
         "ess_median": float(np.median(ess)),
         "ess_min": float(np.min(ess)),
-        "ess_per_sec": float(np.median(ess) / sampling_time),
-        "grad_evals_total": total_grads,
-        "grad_evals_per_sec": float(total_grads / elapsed),
-        "ess_per_grad": float(np.median(ess) / total_grads),
-        "wall_time_sec": elapsed,
+        "ess_per_sec": float(np.median(ess) / r["sampling_time"]),
+        "ess_per_sec_incl_warmup": float(np.median(ess) / total_time),
+        "grad_evals_per_sec": float(r["total_grads"] / total_time),
+        "sampling_grad_evals_per_sec": float(r["sampling_grads"] / r["sampling_time"]),
+        "ess_per_grad": float(np.median(ess) / r["total_grads"]),
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()},
     }
 
 
@@ -113,7 +147,8 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        # 64-core extrapolation of the measured single-core C++ ESS/sec
+        # 64-core extrapolation of the measured single-core C++ ESS/sec,
+        # compared on sampling-phase throughput for both sides
         per_model = []
         for r in results:
             key = f"{r['model']}_ess_per_sec_1core"
@@ -127,7 +162,7 @@ def main():
             {
                 "metric": "ess_per_sec_4096chains_geomean_funnel_logreg",
                 "value": value,
-                "unit": "ESS/s (median dim)",
+                "unit": "ESS/s (median dim, sampling phase)",
                 "vs_baseline": vs_baseline,
                 "backend": backend,
                 "n_chains": n_chains,

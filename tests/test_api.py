@@ -162,3 +162,31 @@ class TestStatisticalEndToEnd:
         assert np.all(np.abs(s.mean()) < 5 * mcse_mean)
         assert np.all(np.abs(s.variance() - 1.0) < 5 * np.sqrt(2.0 / ess))
         assert np.all(s.r_hat() < 1.05)
+
+
+class TestWarmStart:
+    """Warm-starting from a previous run's adapted parameters: the
+    reference's warm-start story (handlers.hpp:91-100, stan.py:233-236) —
+    exported step size / inverse metric seed a new run, and warmup can be
+    skipped entirely with min == max == 0."""
+
+    def test_zero_warmup_with_given_metric(self):
+        out1 = sample(save_inv_metric=True, min_warmup_iter=30,
+                      max_warmup_iter=30)
+        inv_metric = np.stack([c.warmup.inv_metric for c in out1])
+        out2 = sample(
+            min_warmup_iter=0, max_warmup_iter=0,
+            init_inv_metric=inv_metric,
+            inits=np.stack([np.asarray(c)[-1] for c in out1]),
+            adapt_init_step=True,
+            min_sampling_iter=20, max_sampling_iter=20,
+        )
+        for chain in out2:
+            assert chain.shape == (20, DIM)
+            assert np.isfinite(np.asarray(chain)).all()
+
+    def test_zero_warmup_stepsize_comes_from_init(self):
+        out = sample(min_warmup_iter=0, max_warmup_iter=0,
+                     adapt_init_step=False, step_size_init=0.25)
+        # with no warmup and no heuristic search the frozen step is the init
+        assert out[0].warmup.stepsize == pytest.approx(0.25, rel=1e-5)
