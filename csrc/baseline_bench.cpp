@@ -357,6 +357,11 @@ int main(int argc, char** argv) {
   int n_samp = std::atoi(argv[4]);
   uint64_t seed = std::strtoull(argv[5], nullptr, 10);
   const char* out_path = argv[6];
+  // optional: max step halvings via env (default 5, the reference default)
+  int max_halvings = 5;
+  if (const char* mh = std::getenv("BASELINE_MAX_HALVINGS")) {
+    max_halvings = std::atoi(mh);
+  }
 
   std::unique_ptr<Target> tgt;
   if (model == "funnel") tgt = std::make_unique<Funnel>(101);
@@ -411,7 +416,7 @@ int main(int argc, char** argv) {
     DiscountedMoments score_mom(4.0, mass);
     double total_macro = 2.0, macro_count = 1.0;
 
-    Tuning tun{adam.step(), 1, 0.5, 5, 5};
+    Tuning tun{adam.step(), 1, 0.5, 5, max_halvings};
     Vec inv_mass(d), vd(d), vs(d), g_sel(d);
 
     auto tw0 = std::chrono::steady_clock::now();

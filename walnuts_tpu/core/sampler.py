@@ -119,7 +119,7 @@ def init_warmup_state(
 
 
 def make_warmup_step(
-    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig
+    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None
 ) -> Callable[[WarmupState], Tuple[WarmupState, WarmupOutput]]:
     """One continuous-warmup iteration (adaptive_walnuts.hpp:234-251).
 
@@ -133,6 +133,7 @@ def make_warmup_step(
         max_depth=sampling_cfg.max_trajectory_doublings,
         max_step_halvings=sampling_cfg.max_step_halvings,
         adapt_step_size=True,
+        integrator=integrator,
     )
     max_error = sampling_cfg.max_hamiltonian_error
 
@@ -191,7 +192,7 @@ def init_sample_state(state: WarmupState) -> SampleState:
 
 
 def make_sample_step(
-    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig
+    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None
 ) -> Callable[[SampleState, FrozenParams], Tuple[SampleState, TransitionResult]]:
     """One fixed-parameter WALNUTS draw (``WalnutsSampler::operator()``,
     walnuts.hpp:682-692), plus the running log-density Welford used by the
@@ -201,6 +202,7 @@ def make_sample_step(
         max_depth=sampling_cfg.max_trajectory_doublings,
         max_step_halvings=sampling_cfg.max_step_halvings,
         adapt_step_size=False,
+        integrator=integrator,
     )
     max_error = sampling_cfg.max_hamiltonian_error
 

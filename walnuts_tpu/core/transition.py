@@ -66,8 +66,9 @@ from walnuts_tpu.ops.math import (
 
 Array = jax.Array
 
-_PH_FWD = jnp.int32(0)
-_PH_REV = jnp.int32(1)
+# phase codes (plain ints: no device work at import time)
+_PH_FWD = 0
+_PH_REV = 1
 
 # packed span row indices
 _THETA_BK, _RHO_BK, _GRAD_BK = 0, 1, 2
@@ -172,6 +173,7 @@ def make_transition(
     max_depth: int,
     max_step_halvings: int,
     adapt_step_size: bool,
+    integrator=None,
 ) -> Callable[..., TransitionResult]:
     """Build a single-chain WALNUTS transition (walnuts.hpp:520-563).
 
@@ -181,6 +183,11 @@ def make_transition(
     When ``adapt_step_size`` is True, the carried Adam state observes
     ``exp(-|dH|)`` of the coarsest attempt of every macro step
     (walnuts.hpp:335-338), exactly as warmup requires.
+
+    ``integrator`` optionally replaces the inner leapfrog loop with a
+    fused kernel of signature ``(cur (3, D), inv_mass (D,), dt, n_steps)
+    -> (cur', lp)`` (see ``walnuts_tpu.ops.integrator``); lanes with
+    ``n_steps == 0`` must pass through unchanged.
     """
 
     def transition(
@@ -226,7 +233,7 @@ def make_transition(
             dt=dt0,
             steps_done=jnp.int32(0),
             steps_total=min_micro,
-            phase=_PH_FWD,
+            phase=jnp.int32(_PH_FWD),
             cur=start,
             fwd=start,
             fwd_logp_pos=logp0,
@@ -249,23 +256,31 @@ def make_transition(
             # span/stack bookkeeping below runs once per ATTEMPT, not once
             # per micro step. Under vmap, lanes whose attempt is shorter
             # idle (select-masked) until the longest lane finishes — wasted
-            # iterations are cheap inner ones, never outer ones.
-            def inner_cond(c):
-                cur, lp, n_done = c
-                return n_done < s.steps_total
+            # iterations are cheap inner ones, never outer ones. With a
+            # fused ``integrator`` the whole attempt is one Pallas launch
+            # with the cursor VMEM-resident.
+            if integrator is None:
+                def inner_cond(c):
+                    cur, lp, n_done = c
+                    return n_done < s.steps_total
 
-            def inner_body(c):
-                cur, lp, n_done = c
-                theta_i, rho_i, grad_i, lp_i = leapfrog_step(
-                    logp_grad, inv_mass, s.dt, cur[0], cur[1], cur[2]
+                def inner_body(c):
+                    cur, lp, n_done = c
+                    theta_i, rho_i, grad_i, lp_i = leapfrog_step(
+                        logp_grad, inv_mass, s.dt, cur[0], cur[1], cur[2]
+                    )
+                    return jnp.stack([theta_i, rho_i, grad_i]), lp_i, n_done + 1
+
+                lp_init = jnp.asarray(-jnp.inf, dtype=dtype)
+                cur_n, lp_n, steps_done = jax.lax.while_loop(
+                    inner_cond, inner_body, (s.cur, lp_init, s.steps_done)
                 )
-                return jnp.stack([theta_i, rho_i, grad_i]), lp_i, n_done + 1
-
-            lp_init = jnp.asarray(-jnp.inf, dtype=dtype)
-            cur_n, lp_n, steps_done = jax.lax.while_loop(
-                inner_cond, inner_body, (s.cur, lp_init, s.steps_done)
-            )
-            grads_used = steps_done - s.steps_done
+                grads_used = steps_done - s.steps_done
+            else:
+                n_eff = s.steps_total - s.steps_done
+                cur_n, lp_n = integrator(s.cur, inv_mass, s.dt, n_eff)
+                grads_used = n_eff
+                steps_done = s.steps_total
             rho_n = cur_n[1]
             joint_n = lp_n + logp_momentum(rho_n, inv_mass)
             att_done = steps_done >= s.steps_total
@@ -397,8 +412,8 @@ def make_transition(
 
             halvings = jnp.where(start_macro, jnp.int32(0),
                                  jnp.where(restart, s.halvings + 1, s.halvings))
-            phase = jnp.where(start_macro | restart, _PH_FWD,
-                              jnp.where(start_rev | next_rev, _PH_REV, s.phase))
+            phase = jnp.where(start_macro | restart, jnp.int32(_PH_FWD),
+                              jnp.where(start_rev | next_rev, jnp.int32(_PH_REV), s.phase))
             steps_total = jnp.where(
                 start_macro, min_micro,
                 jnp.where(restart, s.steps_total * 2,

@@ -1,0 +1,99 @@
+"""Hand-written batched value-and-gradient kernels for the model zoo.
+
+Autodiff is not available inside Pallas kernels, so models that want the
+fused integrator (``walnuts_tpu.ops.integrator``) provide a manual batched
+``theta (B, D) -> (logp (B,), grad (B, D))`` built from Pallas-supported
+ops. Each is validated against the autodiff version in the tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def std_normal_vg(dim: int):
+    def logp_grad(theta: Array) -> Tuple[Array, Array]:
+        lp = -0.5 * jnp.sum(theta * theta, axis=-1)
+        return lp, -theta
+
+    return logp_grad, dim
+
+
+def funnel_vg(dim: int = 10, scale: float = 3.0):
+    """Neal's funnel (see targets.funnel): v = theta[:, 0], x = theta[:, 1:].
+
+    logp = -v^2/(2 s^2) - 0.5 ||x||^2 e^{-v} - 0.5 d v
+    dv   = -v/s^2 + 0.5 ||x||^2 e^{-v} - 0.5 d
+    dx   = -x e^{-v}
+    """
+    d_latent = dim - 1
+    inv_s2 = 1.0 / (scale * scale)
+
+    def logp_grad(theta: Array) -> Tuple[Array, Array]:
+        v = theta[:, 0:1]                      # (B, 1)
+        x = theta[:, 1:]                       # (B, d_latent)
+        e = jnp.exp(-v)
+        ssq = jnp.sum(x * x, axis=-1, keepdims=True)
+        lp = (-0.5 * v * v * inv_s2 - 0.5 * ssq * e - 0.5 * d_latent * v)[:, 0]
+        dv = -v * inv_s2 + 0.5 * ssq * e - 0.5 * d_latent
+        dx = -x * e
+        return lp, jnp.concatenate([dv, dx], axis=-1)
+
+    return logp_grad, dim
+
+
+def logistic_regression_vg(num_data: int = 1000, dim: int = 25,
+                           seed: int = 20260816):
+    """Logistic regression (see targets.logistic_regression), manual grad:
+
+    logits = theta @ X^T; lp = sum log_sigmoid(y*logits) - 0.5||theta||^2
+    grad = (y * sigmoid(-y*logits)) @ X - theta
+
+    The design matrix is closed over and becomes a kernel constant
+    (100 KB, VMEM-resident).
+    """
+    from walnuts_tpu.models.targets import logistic_regression_data
+
+    design, y_sign = logistic_regression_data(num_data, dim, seed)
+    x = jnp.asarray(design, dtype=jnp.float32)
+    y = jnp.asarray(y_sign, dtype=jnp.float32)[None, :]  # (1, N)
+
+    def logp_grad(theta: Array) -> Tuple[Array, Array]:
+        logits = jnp.dot(theta, x.T, preferred_element_type=jnp.float32)
+        z = y * logits                                      # (B, N)
+        lp = (
+            jnp.sum(-jnp.logaddexp(0.0, -z), axis=-1)
+            - 0.5 * jnp.sum(theta * theta, axis=-1)
+        )
+        s = y * jax.nn.sigmoid(-z)
+        grad = jnp.dot(s, x, preferred_element_type=jnp.float32) - theta
+        return lp, grad
+
+    return logp_grad, dim
+
+
+def ill_conditioned_normal_vg(dim: int):
+    inv_var = jnp.asarray(
+        1.0 / np.arange(1.0, dim + 1.0) ** 2, dtype=jnp.float32
+    )[None, :]
+
+    def logp_grad(theta: Array) -> Tuple[Array, Array]:
+        g = -inv_var * theta
+        lp = 0.5 * jnp.sum(g * theta, axis=-1)
+        return lp, g
+
+    return logp_grad, dim
+
+
+__all__ = [
+    "funnel_vg",
+    "ill_conditioned_normal_vg",
+    "logistic_regression_vg",
+    "std_normal_vg",
+]

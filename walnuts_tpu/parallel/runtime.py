@@ -119,6 +119,7 @@ def run_warmup(
     save_warmup: bool = False,
     mesh: Optional[Mesh] = None,
     progress=None,
+    integrator=None,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -128,7 +129,7 @@ def run_warmup(
     and run info.
     """
     state = shard_chains(state, mesh)
-    warmup_step = make_warmup_step(logp_grad, sampling_cfg)
+    warmup_step = make_warmup_step(logp_grad, sampling_cfg, integrator=integrator)
     vstep = jax.vmap(warmup_step)
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
@@ -199,6 +200,7 @@ def run_sampling(
     info: Optional[RunInfo] = None,
     progress=None,
     on_r_hat=None,
+    integrator=None,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -207,7 +209,7 @@ def run_sampling(
     """
     state = shard_chains(state, mesh)
     params = shard_chains(params, mesh)
-    sample_step = make_sample_step(logp_grad, sampling_cfg)
+    sample_step = make_sample_step(logp_grad, sampling_cfg, integrator=integrator)
     vstep = jax.vmap(sample_step)
 
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
