@@ -39,11 +39,17 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     from walnuts_tpu.ops.math import adapt_step_size
     from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
 
+    # max_step_halvings=8: the WALNUTS halving budget sized so tail chains
+    # (a few per 4096 at radius-2 inits) can always recover instead of
+    # sticking and poisoning the cross-chain ESS; the native baseline is
+    # measured with the same budget (BASELINE_MAX_HALVINGS=8).
+    halvings = int(os.environ.get("BENCH_HALVINGS", 8))
     warmup_cfg = WarmupConfig(
         min_iter=warmup_iters, max_iter=warmup_iters, block_size=warmup_iters
     )
     sampling_cfg = SamplingConfig(
-        min_iter=sampling_iters, max_iter=sampling_iters, block_size=sampling_iters
+        min_iter=sampling_iters, max_iter=sampling_iters,
+        block_size=sampling_iters, max_step_halvings=halvings,
     )
 
     base = jax.random.key(seed)
