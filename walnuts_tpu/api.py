@@ -204,10 +204,16 @@ def walnuts(
     )
 
     progress = None
+    on_r_hat = None
     if refresh > 0:
         def progress(phase: str, iteration: int) -> None:
             if iteration % refresh == 0 or iteration == 0:
                 print(f"All chains: Iteration {iteration} ({phase.capitalize()})")
+
+        # the reference's GlobalHandler prints each controller R-hat
+        # (handlers.hpp:160-176)
+        def on_r_hat(value: float) -> None:
+            print(f"R-hat: {value:.4f}")
 
     import contextlib
 
@@ -234,7 +240,7 @@ def walnuts(
             sstate = jax.vmap(init_sample_state)(wstate)
             sstate, draws, _logps, info = run_sampling(
                 logp_grad, sstate, params, sampling_cfg,
-                mesh=mesh, info=info, progress=progress,
+                mesh=mesh, info=info, progress=progress, on_r_hat=on_r_hat,
             )
 
     step_sizes = np.asarray(params.step_size)
