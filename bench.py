@@ -73,6 +73,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
 
     t0 = time.time()
     wstate, _, _, info = run_warmup(logp_grad, wstate, warmup_cfg, sampling_cfg)
+    jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0
     warmup_grads = int(np.sum(np.asarray(wstate.n_grads)))
 
@@ -82,6 +83,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info
     )
+    jax.block_until_ready(sstate)
     sampling_time = time.time() - t0
     total_grads = int(np.sum(info.n_grads))
     return {
