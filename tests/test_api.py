@@ -190,3 +190,17 @@ class TestWarmStart:
                      adapt_init_step=False, step_size_init=0.25)
         # with no warmup and no heuristic search the frozen step is the init
         assert out[0].warmup.stepsize == pytest.approx(0.25, rel=1e-5)
+
+
+class TestPerChainStepSizeInit:
+    def test_array_accepted(self):
+        out = sample(min_warmup_iter=0, max_warmup_iter=0, adapt_init_step=False,
+                     step_size_init=np.array([0.25, 0.5]))
+        assert out[0].warmup.stepsize == pytest.approx(0.25, rel=1e-5)
+        assert out[1].warmup.stepsize == pytest.approx(0.5, rel=1e-5)
+
+    def test_bad_shapes_rejected(self):
+        with pytest.raises(ValueError):
+            sample(step_size_init=np.array([0.25, 0.5, 0.7]))
+        with pytest.raises(ValueError):
+            sample(step_size_init=np.array([0.25, -0.5]))

@@ -165,8 +165,20 @@ def walnuts(
         )(grads)
 
     # --- initial step sizes, optionally heuristically adapted
-    # (walnutpy.cpp:75-79 -> util.hpp:285-303) ---
-    step0 = jnp.full((num_chains,), step_size_init, dtype=dtype)
+    # (walnutpy.cpp:75-79 -> util.hpp:285-303); scalar or per-chain array
+    # (InitConfigBuilder::step_sizes, config.hpp:221-242) ---
+    step_init_arr = np.asarray(step_size_init, dtype=np.float64)
+    if step_init_arr.ndim == 0:
+        step0 = jnp.full((num_chains,), float(step_init_arr), dtype=dtype)
+    elif step_init_arr.shape == (num_chains,):
+        if not np.all(np.isfinite(step_init_arr)) or np.any(step_init_arr <= 0):
+            raise ValueError("step_size_init must be finite and positive")
+        step0 = jnp.asarray(step_init_arr, dtype=dtype)
+    else:
+        raise ValueError(
+            f"step_size_init must be a scalar or shape ({num_chains},); "
+            f"got shape {step_init_arr.shape}"
+        )
     if adapt_init_step:
         step_keys = jax.vmap(lambda c: jax.random.fold_in(base_key, c))(
             jnp.asarray(chain_ids + num_chains)
@@ -183,7 +195,7 @@ def walnuts(
         mass_init_count=mass_init_count,
         mass_additive_smoothing=mass_additive_smoothing,
         max_macro_steps_target=max_macro_steps_target,
-        step_size_init=step_size_init,
+        step_size_init=float(np.mean(step_init_arr)),
         step_accept_rate_target=step_accept_rate_target,
         step_learning_rate=step_learning_rate,
         step_gradient_decay=step_gradient_decay,
