@@ -31,7 +31,7 @@ class TestManualKernels:
         ],
     )
     def test_matches_autodiff(self, vg_factory, target_factory):
-        vg, dim = vg_factory()
+        vg, dim, _ = vg_factory()
         logp, _ = target_factory()
         ref = make_logp_grad(logp)
         theta = 0.4 * jax.random.normal(jax.random.key(0), (7, dim), jnp.float32)
@@ -43,7 +43,7 @@ class TestManualKernels:
     def test_logreg_matches_autodiff(self):
         from walnuts_tpu.models import logistic_regression
 
-        vg, dim = logistic_regression_vg()
+        vg, dim, _ = logistic_regression_vg()
         logp, _ = logistic_regression()
         ref = make_logp_grad(logp)
         theta = 0.2 * jax.random.normal(jax.random.key(1), (4, dim), jnp.float32)
@@ -60,7 +60,7 @@ class TestIntegrator:
     def test_matches_sequential_leapfrog(self):
         from walnuts_tpu.ops.math import leapfrog_step
 
-        vg, dim = std_normal_vg(4)
+        vg, dim, _ = std_normal_vg(4)
         logp, _ = std_normal(4)
         lg = make_logp_grad(logp)
         integ = self._integrator(vg)
@@ -80,7 +80,7 @@ class TestIntegrator:
         assert float(lp) == pytest.approx(float(lpr), abs=1e-5)
 
     def test_zero_steps_pass_through(self):
-        vg, dim = std_normal_vg(3)
+        vg, dim, _ = std_normal_vg(3)
         integ = self._integrator(vg)
         cur = jnp.ones((3, dim), jnp.float32)
         out, lp = integ(cur, jnp.ones(dim, jnp.float32), jnp.float32(0.5), jnp.int32(0))
@@ -88,7 +88,7 @@ class TestIntegrator:
         assert float(lp) == -np.inf
 
     def test_batched_heterogeneous_step_counts(self):
-        vg, dim = std_normal_vg(3)
+        vg, dim, _ = std_normal_vg(3)
         integ = self._integrator(vg)
         B = 5
         cur = jax.random.normal(jax.random.key(3), (B, 3, dim), jnp.float32)
@@ -106,7 +106,7 @@ class TestIntegrator:
         """The full transition with the fused integrator reproduces the
         plain path: same depths, same gradient counts, same draws to f32
         tolerance (identical RNG stream)."""
-        vg, dim = funnel_vg(8)
+        vg, dim, _ = funnel_vg(8)
         logp, _ = funnel(8)
         lg = make_logp_grad(logp)
         integ = self._integrator(vg)
@@ -133,7 +133,7 @@ class TestIntegrator:
         )
         from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
 
-        vg, dim = std_normal_vg(3)
+        vg, dim, _ = std_normal_vg(3)
         logp, _ = std_normal(3)
         lg = make_logp_grad(logp)
         integ = self._integrator(vg)

@@ -1,9 +1,12 @@
 """Hand-written batched value-and-gradient kernels for the model zoo.
 
 Autodiff is not available inside Pallas kernels, so models that want the
-fused integrator (``walnuts_tpu.ops.integrator``) provide a manual batched
-``theta (B, D) -> (logp (B,), grad (B, D))`` built from Pallas-supported
-ops. Each is validated against the autodiff version in the tests.
+fused integrator or fused transition provide a manual batched
+``theta (B, D), *consts -> (logp (B,), grad (B, D))`` built from
+Pallas-supported ops. Each factory returns ``(vg, dim, consts)`` where
+``consts`` is a tuple of constant arrays passed into the kernel as
+replicated inputs (Pallas forbids closure-captured array constants).
+Each kernel is validated against the autodiff version in the tests.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ def std_normal_vg(dim: int):
         lp = -0.5 * jnp.sum(theta * theta, axis=-1)
         return lp, -theta
 
-    return logp_grad, dim
+    return logp_grad, dim, ()
 
 
 def funnel_vg(dim: int = 10, scale: float = 3.0):
@@ -45,7 +48,7 @@ def funnel_vg(dim: int = 10, scale: float = 3.0):
         dx = -x * e
         return lp, jnp.concatenate([dv, dx], axis=-1)
 
-    return logp_grad, dim
+    return logp_grad, dim, ()
 
 
 def logistic_regression_vg(num_data: int = 1000, dim: int = 25,
@@ -55,27 +58,31 @@ def logistic_regression_vg(num_data: int = 1000, dim: int = 25,
     logits = theta @ X^T; lp = sum log_sigmoid(y*logits) - 0.5||theta||^2
     grad = (y * sigmoid(-y*logits)) @ X - theta
 
-    The design matrix is closed over and becomes a kernel constant
-    (100 KB, VMEM-resident).
+    The design matrix and labels ride in as kernel constants (100 KB,
+    VMEM-resident).
     """
     from walnuts_tpu.models.targets import logistic_regression_data
 
     design, y_sign = logistic_regression_data(num_data, dim, seed)
     x = jnp.asarray(design, dtype=jnp.float32)
+    xt = jnp.asarray(design.T.copy(), dtype=jnp.float32)
     y = jnp.asarray(y_sign, dtype=jnp.float32)[None, :]  # (1, N)
 
-    def logp_grad(theta: Array) -> Tuple[Array, Array]:
-        logits = jnp.dot(theta, x.T, preferred_element_type=jnp.float32)
-        z = y * logits                                      # (B, N)
+    def logp_grad(theta: Array, xt_c=None, x_c=None, y_c=None) -> Tuple[Array, Array]:
+        xt_c = xt if xt_c is None else xt_c
+        x_c = x if x_c is None else x_c
+        y_c = y if y_c is None else y_c
+        logits = jnp.dot(theta, xt_c, preferred_element_type=jnp.float32)
+        z = y_c * logits                                    # (B, N)
         lp = (
             jnp.sum(-jnp.logaddexp(0.0, -z), axis=-1)
             - 0.5 * jnp.sum(theta * theta, axis=-1)
         )
-        s = y * jax.nn.sigmoid(-z)
-        grad = jnp.dot(s, x, preferred_element_type=jnp.float32) - theta
+        s = y_c * jax.nn.sigmoid(-z)
+        grad = jnp.dot(s, x_c, preferred_element_type=jnp.float32) - theta
         return lp, grad
 
-    return logp_grad, dim
+    return logp_grad, dim, (xt, x, y)
 
 
 def ill_conditioned_normal_vg(dim: int):
@@ -83,12 +90,13 @@ def ill_conditioned_normal_vg(dim: int):
         1.0 / np.arange(1.0, dim + 1.0) ** 2, dtype=jnp.float32
     )[None, :]
 
-    def logp_grad(theta: Array) -> Tuple[Array, Array]:
-        g = -inv_var * theta
+    def logp_grad(theta: Array, inv_var_c=None) -> Tuple[Array, Array]:
+        iv = inv_var if inv_var_c is None else inv_var_c
+        g = -iv * theta
         lp = 0.5 * jnp.sum(g * theta, axis=-1)
         return lp, g
 
-    return logp_grad, dim
+    return logp_grad, dim, (inv_var,)
 
 
 __all__ = [

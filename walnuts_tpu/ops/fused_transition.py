@@ -1,0 +1,421 @@
+"""EXPERIMENTAL: the entire WALNUTS transition as one Pallas kernel.
+
+The XLA transition (core/transition.py) is bandwidth-bound on its
+per-attempt span/stack bookkeeping: at 4096 chains x funnel(101) each
+outer iteration moves ~250 MB of HBM traffic plus per-op launch latency.
+A 128-chain tile's ENTIRE transition state (orbit span, merge stack,
+cursors — ~2.5 MB) fits in VMEM, so this kernel runs the full transition
+per tile with zero HBM traffic inside the loop:
+
+  - the model's batched value-and-gradient is inlined (same hand-written
+    kernels as the fused integrator, ``walnuts_tpu.models.kernels``);
+  - randomness comes from a counter-based in-kernel PRNG (murmur3-
+    finalizer hash of seed ^ lane ^ draw-counter; portable uint32 ops),
+    with the momentum drawn OUTSIDE the kernel (so the transition
+    signature matches the XLA path);
+  - each tile iterates until ITS lanes finish — tail-lane divergence only
+    stalls one tile, not the whole batch;
+  - the algorithm is the same two-level structure, with the inner
+    integration loop inlined (one fori per attempt).
+
+Statistically this is the same sampler as the XLA path (identical decision
+structure; independent uniforms per decision) but NOT bitwise identical —
+the PRNG streams differ. Distribution-level tests compare the two.
+
+Interface: ``make_fused_transition(batched_vg, dim, max_depth,
+max_step_halvings, block_b)`` returns ``fn(seed, theta (C, D), rho (C, D),
+logp0 (C,), grad0 (C, D), step (C,), inv_mass (C, D), min_micro (C,),
+max_error) -> (theta', grad', logp', depth, n_grads)`` — a batched
+transition given a pre-drawn momentum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# span rows (same layout as core/transition.py)
+_TB, _RB, _GB = 0, 1, 2      # backward endpoint: theta, rho, grad
+_TF, _RF, _GF = 3, 4, 5      # forward endpoint
+_TS, _GS = 6, 7              # selected: theta, grad
+_LB, _LF, _LS, _LW = 0, 1, 2, 3  # scalars: joint bk, joint fw, logp sel, logw
+
+
+def _hash32(x):
+    """murmur3 finalizer: a stateless high-avalanche uint32 hash. Used as a
+    counter-based PRNG inside the kernel (portable: plain integer ops, no
+    pltpu.prng_* so interpret mode works everywhere)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _uniform_from_bits(bits):
+    """uint32 random bits -> uniform (0, 1] float32 (24-bit mantissa)."""
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24)) + jnp.float32(1e-12)
+
+
+def make_fused_transition(
+    batched_vg,
+    dim: int,
+    max_depth: int,
+    max_step_halvings: int,
+    block_b: int = 128,
+    interpret: bool = False,
+    consts: tuple = (),
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = dim
+    MD = max_depth
+
+    def kinetic(rho, inv_mass):
+        return -0.5 * jnp.sum(inv_mass * rho * rho, axis=-1, keepdims=True)
+
+    def lse(a, b):
+        m = jnp.maximum(a, b)
+        mn = jnp.minimum(a, b)
+        safe = m + jnp.log1p(jnp.exp(mn - m))
+        return jnp.where(jnp.isinf(m), m, safe)
+
+    def uturn(older_v, newer_v, fwd, inv_mass):
+        # fwd: (B, 1) bool; spans: (B, 8, D)
+        bk_t = jnp.where(fwd, older_v[:, _TB], newer_v[:, _TB])
+        bk_r = jnp.where(fwd, older_v[:, _RB], newer_v[:, _RB])
+        fw_t = jnp.where(fwd, newer_v[:, _TF], older_v[:, _TF])
+        fw_r = jnp.where(fwd, newer_v[:, _RF], older_v[:, _RF])
+        delta = inv_mass * (fw_t - bk_t)
+        lo = jnp.sum(bk_r * delta, axis=-1, keepdims=True)
+        hi = jnp.sum(fw_r * delta, axis=-1, keepdims=True)
+        return (hi < 0) | (lo < 0)
+
+    def combine(u, old_v, old_s, new_v, new_s, fwd, barker):
+        # u: (B, 1) uniform; spans (B, 8, D); scalars (B, 4)
+        logw = lse(old_s[:, _LW:_LW + 1], new_s[:, _LW:_LW + 1])
+        denom = logw if barker else old_s[:, _LW:_LW + 1]
+        take_new = jnp.log(u) < (new_s[:, _LW:_LW + 1] - denom)
+        bk = jnp.where(fwd[:, :, None], old_v[:, 0:3], new_v[:, 0:3])
+        fw = jnp.where(fwd[:, :, None], new_v[:, 3:6], old_v[:, 3:6])
+        sel = jnp.where(take_new[:, :, None], new_v[:, 6:8], old_v[:, 6:8])
+        v = jnp.concatenate([bk, fw, sel], axis=1)
+        s = jnp.concatenate(
+            [
+                jnp.where(fwd, old_s[:, _LB:_LB + 1], new_s[:, _LB:_LB + 1]),
+                jnp.where(fwd, new_s[:, _LF:_LF + 1], old_s[:, _LF:_LF + 1]),
+                jnp.where(take_new, new_s[:, _LS:_LS + 1], old_s[:, _LS:_LS + 1]),
+                logw,
+            ],
+            axis=1,
+        )
+        return v, s
+
+    def kernel(seed_ref, theta_ref, rho_ref, lp0_ref, grad0_ref, step_ref,
+               invm_ref, minmu_ref, maxerr_ref, *rest):
+        const_refs = rest[:len(consts)]
+        theta_out, grad_out, lp_out, depth_out, ngrads_out = rest[len(consts):]
+        model_consts = tuple(r[...] for r in const_refs)
+        B = block_b
+        lane = (
+            jax.lax.broadcasted_iota(jnp.uint32, (B, 1), 0)
+            + jnp.uint32(B) * pl.program_id(0).astype(jnp.uint32)
+        )
+        seed_mix = _hash32(seed_ref[0].astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9))
+
+        def draw_uniform(ctr):
+            """One uniform per lane; advances the per-lane counter."""
+            bits = _hash32(seed_mix ^ _hash32(lane) ^ (ctr * jnp.uint32(0x27D4EB2F)))
+            return _uniform_from_bits(bits), ctr + 1
+
+        theta0 = theta_ref[...]
+        rho0 = rho_ref[...]
+        grad0 = grad0_ref[...]
+        lp0 = lp0_ref[...]            # (B, 1)
+        step = step_ref[...]          # (B, 1)
+        inv_mass = invm_ref[...]      # (B, D)
+        min_micro = minmu_ref[...]    # (B, 1) int32
+        max_error = maxerr_ref[0]
+
+        joint0 = lp0 + kinetic(rho0, inv_mass)
+        point_v = jnp.stack(
+            [theta0, rho0, grad0, theta0, rho0, grad0, theta0, grad0], axis=1
+        )  # (B, 8, D)
+        point_s = jnp.concatenate([joint0, joint0, lp0, joint0], axis=1)  # (B,4)
+
+        ctr0 = jnp.ones((B, 1), jnp.uint32)
+        u0, ctr0 = draw_uniform(ctr0)
+        fwd0 = u0 < 0.5
+        dt0 = jnp.where(fwd0, step, -step)
+        start = jnp.stack([theta0, rho0, grad0], axis=1)  # (B, 3, D)
+
+        init = dict(
+            done=jnp.zeros((B, 1), jnp.bool_),
+            depth=jnp.ones((B, 1), jnp.int32),
+            out_depth=jnp.full((B, 1), MD + 1, jnp.int32),
+            acc_v=point_v, acc_s=point_s,
+            fwd_dir=fwd0,
+            leaf_idx=jnp.zeros((B, 1), jnp.int32),
+            n_leaves=jnp.ones((B, 1), jnp.int32),
+            stack_v=jnp.zeros((B, MD, 8, D), jnp.float32),
+            stack_s=jnp.zeros((B, MD, 4), jnp.float32),
+            ms=start, ms_joint=joint0,
+            halvings=jnp.zeros((B, 1), jnp.int32),
+            dt=dt0,
+            steps_total=min_micro,
+            phase=jnp.zeros((B, 1), jnp.int32),  # 0 fwd, 1 rev
+            rng_ctr=ctr0,
+            cur=start,
+            fwd=start, fwd_lp=lp0, fwd_joint=joint0,
+            n_grads=jnp.ones((B, 1), jnp.int32),
+        )
+        keys = sorted(init.keys())
+
+        def cond(carry):
+            s = dict(zip(keys, carry))
+            return jnp.any(~s["done"])
+
+        def body(carry):
+            s = dict(zip(keys, carry))
+            live = ~s["done"]
+            ctr = s["rng_ctr"]
+
+            # ---- integrate the attempt (masked fori over the tile max) ----
+            n_eff = jnp.where(live, s["steps_total"], 0)
+            max_n = jnp.max(n_eff)
+
+            def istep(i, c):
+                th, rh, gr, lp = c
+                active = i < n_eff  # (B, 1)
+                half = 0.5 * s["dt"]
+                rh_h = rh + half * gr
+                th_n = th + s["dt"] * inv_mass * rh_h
+                lp_n, gr_n = batched_vg(th_n, *model_consts)
+                rh_n = rh_h + half * gr_n
+                return (
+                    jnp.where(active, th_n, th),
+                    jnp.where(active, rh_n, rh),
+                    jnp.where(active, gr_n, gr),
+                    jnp.where(active, lp_n[:, None], lp),
+                )
+
+            th, rh, gr, lp_n = jax.lax.fori_loop(
+                0, max_n, istep,
+                (s["cur"][:, 0], s["cur"][:, 1], s["cur"][:, 2],
+                 jnp.full((B, 1), -jnp.inf, jnp.float32)),
+            )
+            cur_n = jnp.stack([th, rh, gr], axis=1)
+            n_grads = s["n_grads"] + n_eff
+            joint_n = lp_n + kinetic(rh, inv_mass)
+            in_fwd = s["phase"] == 0
+
+            # ---- forward attempt completed ----
+            f_err = jnp.abs(s["ms_joint"] - joint_n)
+            f_ok = f_err <= max_error
+            f_done = live & in_fwd
+            need_rev = s["steps_total"] >= 2 * min_micro
+            start_rev = f_done & f_ok & need_rev
+            leaf_ok = f_done & f_ok & ~need_rev
+            more_h = (s["halvings"] + 1) < max_step_halvings
+            restart = f_done & ~f_ok & more_h
+            leaf_fail = f_done & ~f_ok & ~more_h
+
+            # ---- reversibility level completed ----
+            r_done = live & ~in_fwd
+            r_err = jnp.abs(joint_n - s["fwd_joint"])
+            r_within = r_err <= max_error
+            leaf_fail = leaf_fail | (r_done & r_within)
+            more_rev = s["steps_total"] >= 2 * min_micro
+            next_rev = r_done & ~r_within & more_rev
+            leaf_ok = leaf_ok | (r_done & ~r_within & ~more_rev)
+
+            set_fwd = f_done & f_ok
+            fwd = jnp.where(set_fwd[:, :, None], cur_n, s["fwd"])
+            fwd_lp = jnp.where(set_fwd, lp_n, s["fwd_lp"])
+            fwd_joint = jnp.where(set_fwd, joint_n, s["fwd_joint"])
+
+            # ---- merge cascade (level-indexed static slots) ----
+            leaf_v = jnp.stack(
+                [fwd[:, 0], fwd[:, 1], fwd[:, 2], fwd[:, 0], fwd[:, 1],
+                 fwd[:, 2], fwd[:, 0], fwd[:, 2]], axis=1)
+            leaf_s = jnp.concatenate([fwd_joint, fwd_joint, fwd_lp, fwd_joint],
+                                     axis=1)
+            lp1 = s["leaf_idx"] + 1
+            low_bit = jnp.bitwise_and(lp1, -lp1)
+            # ctz via popcount(low_bit - 1)
+            n_merges = jnp.sum(
+                jnp.right_shift(low_bit[:, :, None] - 1,
+                                jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2))
+                & 1, axis=2).astype(jnp.int32)
+
+            cur_v, cur_s = leaf_v, leaf_s
+            ok = jnp.ones((B, 1), jnp.bool_)
+            for i in range(MD):
+                do = leaf_ok & (i < n_merges) & ok
+                top_v = s["stack_v"][:, i]
+                top_s = s["stack_s"][:, i]
+                ut = uturn(top_v, cur_v, s["fwd_dir"], inv_mass)
+                u, ctr = draw_uniform(ctr)
+                m_v, m_s = combine(u, top_v, top_s,
+                                   cur_v, cur_s, s["fwd_dir"], barker=True)
+                cur_v = jnp.where(do[:, :, None], m_v, cur_v)
+                cur_s = jnp.where(do, m_s, cur_s)
+                ok = ok & ~(do & ut)
+            sub_uturn = leaf_ok & ~ok
+            leaf_ok = leaf_ok & ok
+
+            new_leaf_idx = s["leaf_idx"] + 1
+            subtree_done = leaf_ok & (new_leaf_idx >= s["n_leaves"])
+            push = leaf_ok & ~subtree_done
+            slot = jax.lax.broadcasted_iota(jnp.int32, (1, MD, 1, 1), 1)
+            wmask = push[:, :, None, None] & (n_merges[:, :, None, None] == slot)
+            stack_v = jnp.where(wmask, cur_v[:, None], s["stack_v"])
+            stack_s = jnp.where(wmask[:, :, :, 0], cur_s[:, None], s["stack_s"])
+
+            # ---- top-level Metropolis + combined U-turn ----
+            ut_top = uturn(s["acc_v"], cur_v, s["fwd_dir"], inv_mass)
+            u, ctr = draw_uniform(ctr)
+            comb_v, comb_s = combine(u, s["acc_v"],
+                                     s["acc_s"], cur_v, cur_s, s["fwd_dir"],
+                                     barker=False)
+            acc_v = jnp.where(subtree_done[:, :, None], comb_v, s["acc_v"])
+            acc_s = jnp.where(subtree_done, comb_s, s["acc_s"])
+            end_uturn = subtree_done & ut_top
+            new_depth = s["depth"] + 1
+            deeper = subtree_done & ~ut_top & (new_depth <= MD)
+            exhausted = subtree_done & ~ut_top & (new_depth > MD)
+
+            fail = leaf_fail | sub_uturn
+            done = s["done"] | fail | end_uturn | exhausted
+            out_depth = jnp.where(fail | end_uturn, s["depth"],
+                                  jnp.where(exhausted, MD + 1, s["out_depth"]))
+
+            u, ctr = draw_uniform(ctr)
+            new_dir = jnp.where(deeper, u < 0.5, s["fwd_dir"])
+            depth = jnp.where(deeper, new_depth, s["depth"])
+            n_leaves = jnp.where(deeper, jnp.left_shift(1, new_depth - 1),
+                                 s["n_leaves"])
+            leaf_idx = jnp.where(deeper, 0, new_leaf_idx)
+            leaf_idx = jnp.where(leaf_ok | deeper, leaf_idx, s["leaf_idx"])
+
+            acc_end = jnp.where(new_dir[:, :, None], acc_v[:, 3:6], acc_v[:, 0:3])
+            acc_end_joint = jnp.where(new_dir, acc_s[:, _LF:_LF + 1],
+                                      acc_s[:, _LB:_LB + 1])
+            next_leaf = push
+            ms = jnp.where(deeper[:, :, None], acc_end,
+                           jnp.where(next_leaf[:, :, None], fwd, s["ms"]))
+            ms_joint = jnp.where(deeper, acc_end_joint,
+                                 jnp.where(next_leaf, fwd_joint, s["ms_joint"]))
+
+            start_macro = deeper | next_leaf
+            dt_base = jnp.where(new_dir, step, -step)
+            halvings = jnp.where(start_macro, 0,
+                                 jnp.where(restart, s["halvings"] + 1,
+                                           s["halvings"]))
+            phase = jnp.where(start_macro | restart, 0,
+                              jnp.where(start_rev | next_rev, 1, s["phase"]))
+            steps_total = jnp.where(
+                start_macro, min_micro,
+                jnp.where(restart, s["steps_total"] * 2,
+                          jnp.where(start_rev | next_rev,
+                                    s["steps_total"] // 2, s["steps_total"])))
+            dt = jnp.where(start_macro, dt_base,
+                           jnp.where(restart, s["dt"] * 0.5,
+                                     jnp.where(start_rev | next_rev,
+                                               s["dt"] * 2.0, s["dt"])))
+            from_rev = start_rev | next_rev
+            rev_cur = jnp.stack([fwd[:, 0], -fwd[:, 1], fwd[:, 2]], axis=1)
+            cur = jnp.where(from_rev[:, :, None], rev_cur,
+                            jnp.where((start_macro | restart)[:, :, None], ms,
+                                      cur_n))
+
+            # frozen lanes keep all state (the masks above already guard,
+            # but done lanes must not advance n_grads)
+            n_grads = jnp.where(live, n_grads, s["n_grads"])
+
+            new = dict(
+                done=done, depth=depth, out_depth=out_depth,
+                acc_v=acc_v, acc_s=acc_s, fwd_dir=new_dir, leaf_idx=leaf_idx,
+                n_leaves=n_leaves, stack_v=stack_v, stack_s=stack_s,
+                ms=ms, ms_joint=ms_joint, halvings=halvings, dt=dt,
+                steps_total=steps_total, phase=phase, rng_ctr=ctr, cur=cur,
+                fwd=fwd, fwd_lp=fwd_lp, fwd_joint=fwd_joint, n_grads=n_grads,
+            )
+            # freeze every field for non-live lanes
+            out = []
+            for k in keys:
+                old_x, new_x = s[k], new[k]
+                m = live.reshape((B,) + (1,) * (new_x.ndim - 1))
+                out.append(jnp.where(m, new_x, old_x))
+            return tuple(out)
+
+        final = jax.lax.while_loop(cond, body, tuple(init[k] for k in keys))
+        fs = dict(zip(keys, final))
+        theta_out[...] = fs["acc_v"][:, _TS]
+        grad_out[...] = fs["acc_v"][:, _GS]
+        lp_out[...] = fs["acc_s"][:, _LS:_LS + 1]
+        depth_out[...] = fs["out_depth"]
+        ngrads_out[...] = fs["n_grads"]
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fused_transition(seed, theta, rho, logp0, grad0, step, inv_mass,
+                         min_micro, max_error):
+        c = theta.shape[0]
+        pad = (-c) % block_b
+        if pad:
+            p2 = lambda x: jnp.pad(x, ((0, pad), (0, 0)))
+            theta, rho, grad0, inv_mass = map(p2, (theta, rho, grad0, inv_mass))
+            logp0 = jnp.pad(logp0, ((0, pad),))
+            step = jnp.pad(step, ((0, pad),), constant_values=1.0)
+            min_micro = jnp.pad(min_micro, ((0, pad),), constant_values=1)
+        cp = theta.shape[0]
+        grid = (cp // block_b,)
+        vec = lambda: pl.BlockSpec((block_b, D), lambda i: (i, 0))
+        scl = lambda: pl.BlockSpec((block_b, 1), lambda i: (i, 0))
+        const_specs = [
+            pl.BlockSpec(c.shape, (lambda nd: (lambda i: (0,) * nd))(c.ndim))
+            for c in consts
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                vec(), vec(), scl(), vec(), scl(), vec(), scl(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # max_error (1,)
+            ] + const_specs,
+            out_specs=[vec(), vec(), scl(), scl(), scl()],
+            out_shape=[
+                jax.ShapeDtypeStruct((cp, D), jnp.float32),
+                jax.ShapeDtypeStruct((cp, D), jnp.float32),
+                jax.ShapeDtypeStruct((cp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((cp, 1), jnp.int32),
+                jax.ShapeDtypeStruct((cp, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            theta, rho,
+            logp0.reshape(-1, 1).astype(jnp.float32),
+            grad0,
+            step.reshape(-1, 1).astype(jnp.float32),
+            inv_mass,
+            min_micro.reshape(-1, 1).astype(jnp.int32),
+            jnp.asarray(max_error, jnp.float32).reshape(1),
+            *consts,
+        )
+        theta_o, grad_o, lp_o, depth_o, ng_o = outs
+        return (theta_o[:c], grad_o[:c], lp_o[:c, 0], depth_o[:c, 0],
+                ng_o[:c, 0])
+
+    return fused_transition
+
+
+__all__ = ["make_fused_transition"]

@@ -35,9 +35,12 @@ Array = jax.Array
 BatchedLogpGrad = Callable[[Array], Tuple[Array, Array]]
 
 
-def _integrate_kernel(batched_logp_grad):
+def _integrate_kernel(batched_logp_grad, n_consts):
     def kernel(theta_ref, rho_ref, grad_ref, inv_mass_ref, dt_ref, nsteps_ref,
-               theta_out, rho_out, grad_out, lp_out):
+               *rest):
+        const_refs = rest[:n_consts]
+        theta_out, rho_out, grad_out, lp_out = rest[n_consts:]
+        model_consts = tuple(r[...] for r in const_refs)
         theta = theta_ref[...]          # (Bt, D)
         rho = rho_ref[...]
         grad = grad_ref[...]
@@ -54,7 +57,7 @@ def _integrate_kernel(batched_logp_grad):
             half = 0.5 * dt
             rho_h = rho + half * grad
             theta_n = theta + dt * inv_mass * rho_h
-            lp_n, grad_n = batched_logp_grad(theta_n)
+            lp_n, grad_n = batched_logp_grad(theta_n, *model_consts)
             rho_n = rho_h + half * grad_n
             return (
                 jnp.where(active, theta_n, theta),
@@ -79,7 +82,7 @@ def _integrate_kernel(batched_logp_grad):
 )
 def _integrate_batch(
     theta: Array, rho: Array, grad: Array, inv_mass: Array, dt: Array,
-    n_steps: Array, *, batched_logp_grad, block_b: int = 256,
+    n_steps: Array, *consts, batched_logp_grad, block_b: int = 256,
     interpret: bool = False,
 ):
     from jax.experimental import pallas as pl
@@ -95,10 +98,14 @@ def _integrate_batch(
     grid = (bp // block_b,)
     vec = lambda: pl.BlockSpec((block_b, d), lambda i: (i, 0))
     scl = lambda: pl.BlockSpec((block_b, 1), lambda i: (i, 0))
+    const_specs = [
+        pl.BlockSpec(c.shape, (lambda nd: (lambda i: (0,) * nd))(c.ndim))
+        for c in consts
+    ]
     theta_o, rho_o, grad_o, lp_o = pl.pallas_call(
-        _integrate_kernel(batched_logp_grad),
+        _integrate_kernel(batched_logp_grad, len(consts)),
         grid=grid,
-        in_specs=[vec(), vec(), vec(), vec(), scl(), scl()],
+        in_specs=[vec(), vec(), vec(), vec(), scl(), scl()] + const_specs,
         out_specs=[vec(), vec(), vec(), scl()],
         out_shape=[
             jax.ShapeDtypeStruct((bp, d), theta.dtype),
@@ -107,7 +114,7 @@ def _integrate_batch(
             jax.ShapeDtypeStruct((bp, 1), theta.dtype),
         ],
         interpret=interpret,
-    )(theta, rho, grad, inv_mass, dt, n_steps)
+    )(theta, rho, grad, inv_mass, dt, n_steps, *consts)
     return theta_o[:b], rho_o[:b], grad_o[:b], lp_o[:b, 0]
 
 
@@ -115,6 +122,7 @@ def make_pallas_integrator(
     batched_logp_grad: BatchedLogpGrad,
     block_b: int = 256,
     interpret: bool = False,
+    consts: tuple = (),
 ):
     """Build an attempt integrator for ``make_transition(integrator=...)``.
 
@@ -130,6 +138,7 @@ def make_pallas_integrator(
             cur[0][None], cur[1][None], cur[2][None], inv_mass[None],
             jnp.asarray(dt, cur.dtype).reshape(1, 1),
             jnp.asarray(n_steps, jnp.int32).reshape(1, 1),
+            *consts,
             batched_logp_grad=batched_logp_grad, block_b=block_b,
             interpret=interpret,
         )
@@ -151,6 +160,7 @@ def make_pallas_integrator(
             cur[:, 0], cur[:, 1], cur[:, 2], inv_mass,
             dt.astype(cur.dtype).reshape(-1, 1),
             n_steps.astype(jnp.int32).reshape(-1, 1),
+            *consts,
             batched_logp_grad=batched_logp_grad, block_b=block_b,
             interpret=interpret,
         )
