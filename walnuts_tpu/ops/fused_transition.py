@@ -59,8 +59,15 @@ def _hash32(x):
 
 
 def _uniform_from_bits(bits):
-    """uint32 random bits -> uniform (0, 1] float32 (24-bit mantissa)."""
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24)) + jnp.float32(1e-12)
+    """uint32 random bits -> uniform (0, 1] float32 (24-bit mantissa).
+
+    The cast routes through int32 (the 24-bit value is non-negative);
+    Mosaic has no uint32 -> float32 lowering."""
+    return (
+        (bits >> 8).astype(jnp.int32).astype(jnp.float32)
+        * jnp.float32(1.0 / (1 << 24))
+        + jnp.float32(1e-12)
+    )
 
 
 def make_fused_transition(
@@ -152,12 +159,14 @@ def make_fused_transition(
 
         ctr0 = jnp.ones((B, 1), jnp.uint32)
         u0, ctr0 = draw_uniform(ctr0)
-        fwd0 = u0 < 0.5
-        dt0 = jnp.where(fwd0, step, -step)
+        # direction and done flags are carried as int32: Mosaic's select
+        # lowering crashes on boolean-operand select_n
+        fwd0 = (u0 < 0.5).astype(jnp.int32)
+        dt0 = jnp.where(fwd0 != 0, step, -step)
         start = jnp.stack([theta0, rho0, grad0], axis=1)  # (B, 3, D)
 
         init = dict(
-            done=jnp.zeros((B, 1), jnp.bool_),
+            done=jnp.zeros((B, 1), jnp.int32),
             depth=jnp.ones((B, 1), jnp.int32),
             out_depth=jnp.full((B, 1), MD + 1, jnp.int32),
             acc_v=point_v, acc_s=point_s,
@@ -180,11 +189,12 @@ def make_fused_transition(
 
         def cond(carry):
             s = dict(zip(keys, carry))
-            return jnp.any(~s["done"])
+            return jnp.any(s["done"] == 0)
 
         def body(carry):
             s = dict(zip(keys, carry))
-            live = ~s["done"]
+            live = s["done"] == 0
+            fwd_dir = s["fwd_dir"] != 0
             ctr = s["rng_ctr"]
 
             # ---- integrate the attempt (masked fori over the tile max) ----
@@ -261,10 +271,10 @@ def make_fused_transition(
                 do = leaf_ok & (i < n_merges) & ok
                 top_v = s["stack_v"][:, i]
                 top_s = s["stack_s"][:, i]
-                ut = uturn(top_v, cur_v, s["fwd_dir"], inv_mass)
+                ut = uturn(top_v, cur_v, fwd_dir, inv_mass)
                 u, ctr = draw_uniform(ctr)
                 m_v, m_s = combine(u, top_v, top_s,
-                                   cur_v, cur_s, s["fwd_dir"], barker=True)
+                                   cur_v, cur_s, fwd_dir, barker=True)
                 cur_v = jnp.where(do[:, :, None], m_v, cur_v)
                 cur_s = jnp.where(do, m_s, cur_s)
                 ok = ok & ~(do & ut)
@@ -280,10 +290,10 @@ def make_fused_transition(
             stack_s = jnp.where(wmask[:, :, :, 0], cur_s[:, None], s["stack_s"])
 
             # ---- top-level Metropolis + combined U-turn ----
-            ut_top = uturn(s["acc_v"], cur_v, s["fwd_dir"], inv_mass)
+            ut_top = uturn(s["acc_v"], cur_v, fwd_dir, inv_mass)
             u, ctr = draw_uniform(ctr)
             comb_v, comb_s = combine(u, s["acc_v"],
-                                     s["acc_s"], cur_v, cur_s, s["fwd_dir"],
+                                     s["acc_s"], cur_v, cur_s, fwd_dir,
                                      barker=False)
             acc_v = jnp.where(subtree_done[:, :, None], comb_v, s["acc_v"])
             acc_s = jnp.where(subtree_done, comb_s, s["acc_s"])
@@ -293,20 +303,21 @@ def make_fused_transition(
             exhausted = subtree_done & ~ut_top & (new_depth > MD)
 
             fail = leaf_fail | sub_uturn
-            done = s["done"] | fail | end_uturn | exhausted
+            done = jnp.where(fail | end_uturn | exhausted, 1, s["done"])
             out_depth = jnp.where(fail | end_uturn, s["depth"],
                                   jnp.where(exhausted, MD + 1, s["out_depth"]))
 
             u, ctr = draw_uniform(ctr)
-            new_dir = jnp.where(deeper, u < 0.5, s["fwd_dir"])
+            new_dir = jnp.where(deeper, (u < 0.5).astype(jnp.int32), s["fwd_dir"])
+            new_dir_b = new_dir != 0
             depth = jnp.where(deeper, new_depth, s["depth"])
             n_leaves = jnp.where(deeper, jnp.left_shift(1, new_depth - 1),
                                  s["n_leaves"])
             leaf_idx = jnp.where(deeper, 0, new_leaf_idx)
             leaf_idx = jnp.where(leaf_ok | deeper, leaf_idx, s["leaf_idx"])
 
-            acc_end = jnp.where(new_dir[:, :, None], acc_v[:, 3:6], acc_v[:, 0:3])
-            acc_end_joint = jnp.where(new_dir, acc_s[:, _LF:_LF + 1],
+            acc_end = jnp.where(new_dir_b[:, :, None], acc_v[:, 3:6], acc_v[:, 0:3])
+            acc_end_joint = jnp.where(new_dir_b, acc_s[:, _LF:_LF + 1],
                                       acc_s[:, _LB:_LB + 1])
             next_leaf = push
             ms = jnp.where(deeper[:, :, None], acc_end,
@@ -315,7 +326,7 @@ def make_fused_transition(
                                  jnp.where(next_leaf, fwd_joint, s["ms_joint"]))
 
             start_macro = deeper | next_leaf
-            dt_base = jnp.where(new_dir, step, -step)
+            dt_base = jnp.where(new_dir_b, step, -step)
             halvings = jnp.where(start_macro, 0,
                                  jnp.where(restart, s["halvings"] + 1,
                                            s["halvings"]))
