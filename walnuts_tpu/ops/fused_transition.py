@@ -58,6 +58,14 @@ def _hash32(x):
     return x
 
 
+def _iwhere(pred, a, b):
+    """Integer select as an arithmetic blend: Mosaic's select_n lowering
+    hits relayout bugs on (B, 1) integer vectors with mixed replicated
+    layouts; mul/add does not."""
+    m = pred.astype(a.dtype if hasattr(a, "dtype") else jnp.int32)
+    return b + m * (a - b)
+
+
 def _uniform_from_bits(bits):
     """uint32 random bits -> uniform (0, 1] float32 (24-bit mantissa).
 
@@ -198,7 +206,7 @@ def make_fused_transition(
             ctr = s["rng_ctr"]
 
             # ---- integrate the attempt (masked fori over the tile max) ----
-            n_eff = jnp.where(live, s["steps_total"], 0)
+            n_eff = _iwhere(live, s["steps_total"], jnp.zeros_like(s["steps_total"]))
             max_n = jnp.max(n_eff)
 
             def istep(i, c):
@@ -303,18 +311,19 @@ def make_fused_transition(
             exhausted = subtree_done & ~ut_top & (new_depth > MD)
 
             fail = leaf_fail | sub_uturn
-            done = jnp.where(fail | end_uturn | exhausted, 1, s["done"])
-            out_depth = jnp.where(fail | end_uturn, s["depth"],
-                                  jnp.where(exhausted, MD + 1, s["out_depth"]))
+            done = _iwhere(fail | end_uturn | exhausted, jnp.ones_like(s["done"]), s["done"])
+            out_depth = _iwhere(fail | end_uturn, s["depth"],
+                                _iwhere(exhausted, jnp.full_like(s["out_depth"], MD + 1),
+                                        s["out_depth"]))
 
             u, ctr = draw_uniform(ctr)
-            new_dir = jnp.where(deeper, (u < 0.5).astype(jnp.int32), s["fwd_dir"])
+            new_dir = _iwhere(deeper, (u < 0.5).astype(jnp.int32), s["fwd_dir"])
             new_dir_b = new_dir != 0
-            depth = jnp.where(deeper, new_depth, s["depth"])
-            n_leaves = jnp.where(deeper, jnp.left_shift(1, new_depth - 1),
-                                 s["n_leaves"])
-            leaf_idx = jnp.where(deeper, 0, new_leaf_idx)
-            leaf_idx = jnp.where(leaf_ok | deeper, leaf_idx, s["leaf_idx"])
+            depth = _iwhere(deeper, new_depth, s["depth"])
+            n_leaves = _iwhere(deeper, jnp.left_shift(jnp.ones_like(new_depth), new_depth - 1),
+                              s["n_leaves"])
+            leaf_idx = _iwhere(deeper, jnp.zeros_like(new_leaf_idx), new_leaf_idx)
+            leaf_idx = _iwhere(leaf_ok | deeper, leaf_idx, s["leaf_idx"])
 
             acc_end = jnp.where(new_dir_b[:, :, None], acc_v[:, 3:6], acc_v[:, 0:3])
             acc_end_joint = jnp.where(new_dir_b, acc_s[:, _LF:_LF + 1],
@@ -327,16 +336,17 @@ def make_fused_transition(
 
             start_macro = deeper | next_leaf
             dt_base = jnp.where(new_dir_b, step, -step)
-            halvings = jnp.where(start_macro, 0,
-                                 jnp.where(restart, s["halvings"] + 1,
-                                           s["halvings"]))
-            phase = jnp.where(start_macro | restart, 0,
-                              jnp.where(start_rev | next_rev, 1, s["phase"]))
-            steps_total = jnp.where(
+            halvings = _iwhere(start_macro, jnp.zeros_like(s["halvings"]),
+                              _iwhere(restart, s["halvings"] + 1,
+                                      s["halvings"]))
+            phase = _iwhere(start_macro | restart, jnp.zeros_like(s["phase"]),
+                           _iwhere(start_rev | next_rev,
+                                   jnp.ones_like(s["phase"]), s["phase"]))
+            steps_total = _iwhere(
                 start_macro, min_micro,
-                jnp.where(restart, s["steps_total"] * 2,
-                          jnp.where(start_rev | next_rev,
-                                    s["steps_total"] // 2, s["steps_total"])))
+                _iwhere(restart, s["steps_total"] * 2,
+                        _iwhere(start_rev | next_rev,
+                                s["steps_total"] // 2, s["steps_total"])))
             dt = jnp.where(start_macro, dt_base,
                            jnp.where(restart, s["dt"] * 0.5,
                                      jnp.where(start_rev | next_rev,
@@ -359,12 +369,16 @@ def make_fused_transition(
                 steps_total=steps_total, phase=phase, rng_ctr=ctr, cur=cur,
                 fwd=fwd, fwd_lp=fwd_lp, fwd_joint=fwd_joint, n_grads=n_grads,
             )
-            # freeze every field for non-live lanes
+            # freeze every field for non-live lanes (integer fields via
+            # arithmetic blends — see _iwhere)
             out = []
             for k in keys:
                 old_x, new_x = s[k], new[k]
                 m = live.reshape((B,) + (1,) * (new_x.ndim - 1))
-                out.append(jnp.where(m, new_x, old_x))
+                if jnp.issubdtype(new_x.dtype, jnp.floating):
+                    out.append(jnp.where(m, new_x, old_x))
+                else:
+                    out.append(_iwhere(m, new_x, old_x))
             return tuple(out)
 
         final = jax.lax.while_loop(cond, body, tuple(init[k] for k in keys))
