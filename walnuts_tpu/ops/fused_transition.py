@@ -93,6 +93,44 @@ def make_fused_transition(
     D = dim
     MD = max_depth
 
+    # iotas are created inside each helper call (module-level jnp arrays
+    # would be closure-captured constants, which pallas rejects)
+    def _row8():
+        return jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+
+    def _row3():
+        return jax.lax.broadcasted_iota(jnp.int32, (1, 3, 1), 1)
+
+    def _col4():
+        return jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+
+    def pack8(theta, rho, grad):
+        """Span vectors (B, 8, D) from point data without mid-dim concat
+        (Mosaic NYI): rows {0,3,6}=theta, {1,4}=rho, {2,5,7}=grad."""
+        ROW8 = _row8()
+        is_theta = (ROW8 == 0) | (ROW8 == 3) | (ROW8 == 6)
+        is_rho = (ROW8 == 1) | (ROW8 == 4)
+        t = theta[:, None]
+        r = rho[:, None]
+        g = grad[:, None]
+        return jnp.where(is_theta, t, jnp.where(is_rho, r, g))
+
+    def pack3(theta, rho, grad):
+        """Cursor (B, 3, D) rows {0}=theta, {1}=rho, {2}=grad."""
+        ROW3 = _row3()
+        return jnp.where(
+            ROW3 == 0, theta[:, None],
+            jnp.where(ROW3 == 1, rho[:, None], grad[:, None]),
+        )
+
+    def pack_s(bk, fw, sel, logw):
+        """Span scalars (B, 4) from (B, 1) columns without concat."""
+        COL4 = _col4()
+        return jnp.where(
+            COL4 == 0, bk,
+            jnp.where(COL4 == 1, fw, jnp.where(COL4 == 2, sel, logw)),
+        )
+
     def kinetic(rho, inv_mass):
         return -0.5 * jnp.sum(inv_mass * rho * rho, axis=-1, keepdims=True)
 
@@ -114,22 +152,25 @@ def make_fused_transition(
         return (hi < 0) | (lo < 0)
 
     def combine(u, old_v, old_s, new_v, new_s, fwd, barker):
-        # u: (B, 1) uniform; spans (B, 8, D); scalars (B, 4)
+        # u: (B, 1) uniform; spans (B, 8, D); scalars (B, 4). Built with
+        # row-masked full-array selects instead of mid-dim slicing/concat
+        # (Mosaic NYI: "offset mismatch on non-concat dimension").
         logw = lse(old_s[:, _LW:_LW + 1], new_s[:, _LW:_LW + 1])
         denom = logw if barker else old_s[:, _LW:_LW + 1]
         take_new = jnp.log(u) < (new_s[:, _LW:_LW + 1] - denom)
-        bk = jnp.where(fwd[:, :, None], old_v[:, 0:3], new_v[:, 0:3])
-        fw = jnp.where(fwd[:, :, None], new_v[:, 3:6], old_v[:, 3:6])
-        sel = jnp.where(take_new[:, :, None], new_v[:, 6:8], old_v[:, 6:8])
-        v = jnp.concatenate([bk, fw, sel], axis=1)
-        s = jnp.concatenate(
-            [
-                jnp.where(fwd, old_s[:, _LB:_LB + 1], new_s[:, _LB:_LB + 1]),
-                jnp.where(fwd, new_s[:, _LF:_LF + 1], old_s[:, _LF:_LF + 1]),
-                jnp.where(take_new, new_s[:, _LS:_LS + 1], old_s[:, _LS:_LS + 1]),
-                logw,
-            ],
-            axis=1,
+        f3 = fwd[:, :, None]
+        pick_bk = jnp.where(f3, old_v, new_v)
+        pick_fw = jnp.where(f3, new_v, old_v)
+        pick_sel = jnp.where(take_new[:, :, None], new_v, old_v)
+        ROW8 = _row8()
+        is_bk = ROW8 < 3
+        is_fw = (ROW8 >= 3) & (ROW8 < 6)
+        v = jnp.where(is_bk, pick_bk, jnp.where(is_fw, pick_fw, pick_sel))
+        s = pack_s(
+            jnp.where(fwd, old_s, new_s)[:, _LB:_LB + 1],
+            jnp.where(fwd, new_s, old_s)[:, _LF:_LF + 1],
+            jnp.where(take_new, new_s, old_s)[:, _LS:_LS + 1],
+            logw,
         )
         return v, s
 
@@ -160,38 +201,43 @@ def make_fused_transition(
         max_error = maxerr_ref[0]
 
         joint0 = lp0 + kinetic(rho0, inv_mass)
-        point_v = jnp.stack(
-            [theta0, rho0, grad0, theta0, rho0, grad0, theta0, grad0], axis=1
-        )  # (B, 8, D)
-        point_s = jnp.concatenate([joint0, joint0, lp0, joint0], axis=1)  # (B,4)
+        point_v = pack8(theta0, rho0, grad0)  # (B, 8, D)
+        point_s = pack_s(joint0, joint0, lp0, joint0)  # (B, 4)
 
-        ctr0 = jnp.ones((B, 1), jnp.uint32)
+        # Derive every constant-initialized integer carry from input data:
+        # Mosaic gives broadcast-constant loop carries a fully-replicated
+        # layout, and later relayout from a computed (non-replicated) value
+        # back to replicated is impossible ("Invalid relayout" in the while
+        # body). izero has a materialized layout, so sums with it do too.
+        izero = min_micro * 0  # (B, 1) int32, layout tied to real data
+        ctr0 = (izero + 1).astype(jnp.uint32)
         u0, ctr0 = draw_uniform(ctr0)
         # direction and done flags are carried as int32: Mosaic's select
         # lowering crashes on boolean-operand select_n
         fwd0 = (u0 < 0.5).astype(jnp.int32)
         dt0 = jnp.where(fwd0 != 0, step, -step)
-        start = jnp.stack([theta0, rho0, grad0], axis=1)  # (B, 3, D)
+        start = pack3(theta0, rho0, grad0)  # (B, 3, D)
 
+        fzero = lp0 * 0  # (B, 1) f32, materialized layout
         init = dict(
-            done=jnp.zeros((B, 1), jnp.int32),
-            depth=jnp.ones((B, 1), jnp.int32),
-            out_depth=jnp.full((B, 1), MD + 1, jnp.int32),
+            done=izero,
+            depth=izero + 1,
+            out_depth=izero + (MD + 1),
             acc_v=point_v, acc_s=point_s,
             fwd_dir=fwd0,
-            leaf_idx=jnp.zeros((B, 1), jnp.int32),
-            n_leaves=jnp.ones((B, 1), jnp.int32),
-            stack_v=jnp.zeros((B, MD, 8, D), jnp.float32),
-            stack_s=jnp.zeros((B, MD, 4), jnp.float32),
+            leaf_idx=izero,
+            n_leaves=izero + 1,
+            stack_v=point_v[:, None] * jnp.float32(0.0) + jnp.zeros((B, MD, 8, D), jnp.float32),
+            stack_s=point_s[:, None] * jnp.float32(0.0) + jnp.zeros((B, MD, 4), jnp.float32),
             ms=start, ms_joint=joint0,
-            halvings=jnp.zeros((B, 1), jnp.int32),
+            halvings=izero,
             dt=dt0,
             steps_total=min_micro,
-            phase=jnp.zeros((B, 1), jnp.int32),  # 0 fwd, 1 rev
+            phase=izero,  # 0 fwd, 1 rev
             rng_ctr=ctr0,
             cur=start,
             fwd=start, fwd_lp=lp0, fwd_joint=joint0,
-            n_grads=jnp.ones((B, 1), jnp.int32),
+            n_grads=izero + 1,
         )
         keys = sorted(init.keys())
 
@@ -227,9 +273,9 @@ def make_fused_transition(
             th, rh, gr, lp_n = jax.lax.fori_loop(
                 0, max_n, istep,
                 (s["cur"][:, 0], s["cur"][:, 1], s["cur"][:, 2],
-                 jnp.full((B, 1), -jnp.inf, jnp.float32)),
+                 fzero - jnp.float32(jnp.inf)),
             )
-            cur_n = jnp.stack([th, rh, gr], axis=1)
+            cur_n = pack3(th, rh, gr)
             n_grads = s["n_grads"] + n_eff
             joint_n = lp_n + kinetic(rh, inv_mass)
             in_fwd = s["phase"] == 0
@@ -260,11 +306,8 @@ def make_fused_transition(
             fwd_joint = jnp.where(set_fwd, joint_n, s["fwd_joint"])
 
             # ---- merge cascade (level-indexed static slots) ----
-            leaf_v = jnp.stack(
-                [fwd[:, 0], fwd[:, 1], fwd[:, 2], fwd[:, 0], fwd[:, 1],
-                 fwd[:, 2], fwd[:, 0], fwd[:, 2]], axis=1)
-            leaf_s = jnp.concatenate([fwd_joint, fwd_joint, fwd_lp, fwd_joint],
-                                     axis=1)
+            leaf_v = pack8(fwd[:, 0], fwd[:, 1], fwd[:, 2])
+            leaf_s = pack_s(fwd_joint, fwd_joint, fwd_lp, fwd_joint)
             lp1 = s["leaf_idx"] + 1
             low_bit = jnp.bitwise_and(lp1, -lp1)
             # ctz via popcount(low_bit - 1)
@@ -352,7 +395,8 @@ def make_fused_transition(
                                      jnp.where(start_rev | next_rev,
                                                s["dt"] * 2.0, s["dt"])))
             from_rev = start_rev | next_rev
-            rev_cur = jnp.stack([fwd[:, 0], -fwd[:, 1], fwd[:, 2]], axis=1)
+            rev_sign = jnp.where(_row3() == 1, jnp.float32(-1.0), jnp.float32(1.0))
+            rev_cur = fwd * rev_sign
             cur = jnp.where(from_rev[:, :, None], rev_cur,
                             jnp.where((start_macro | restart)[:, :, None], ms,
                                       cur_n))
