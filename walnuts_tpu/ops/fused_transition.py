@@ -187,8 +187,11 @@ def make_fused_transition(
         seed_mix = _hash32(seed_ref[0].astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9))
 
         def draw_uniform(ctr):
-            """One uniform per lane; advances the per-lane counter."""
-            bits = _hash32(seed_mix ^ _hash32(lane) ^ (ctr * jnp.uint32(0x27D4EB2F)))
+            """One uniform per chain (returned (B, 1)); the counter is
+            carried full-width."""
+            bits = _hash32(
+                seed_mix ^ _hash32(lane) ^ (ctr[:, :1] * jnp.uint32(0x27D4EB2F))
+            )
             return _uniform_from_bits(bits), ctr + 1
 
         theta0 = theta_ref[...]
@@ -204,18 +207,21 @@ def make_fused_transition(
         point_v = pack8(theta0, rho0, grad0)  # (B, 8, D)
         point_s = pack_s(joint0, joint0, lp0, joint0)  # (B, 4)
 
-        # Derive every constant-initialized integer carry from input data:
-        # Mosaic gives broadcast-constant loop carries a fully-replicated
-        # layout, and later relayout from a computed (non-replicated) value
-        # back to replicated is impossible ("Invalid relayout" in the while
-        # body). izero has a materialized layout, so sums with it do too.
-        izero = min_micro * 0  # (B, 1) int32, layout tied to real data
+        # Integer per-lane state is carried at FULL LANE WIDTH (B, 128)
+        # with every lane equal: Mosaic's layout inference marks (B, 1)
+        # integer loop carries as lane-replicated and then cannot relayout
+        # computed updates back to the replicated form ("Invalid
+        # relayout"); full-width vectors have ordinary layouts. izero is
+        # derived from input data so it cannot constant-fold.
+        L = 128
+        min_micro_w = jnp.broadcast_to(min_micro, (B, L))
+        izero = min_micro_w * 0
         ctr0 = (izero + 1).astype(jnp.uint32)
         u0, ctr0 = draw_uniform(ctr0)
         # direction and done flags are carried as int32: Mosaic's select
         # lowering crashes on boolean-operand select_n
-        fwd0 = (u0 < 0.5).astype(jnp.int32)
-        dt0 = jnp.where(fwd0 != 0, step, -step)
+        fwd0 = (u0 < 0.5).astype(jnp.int32) + izero
+        dt0 = jnp.where(fwd0[:, :1] != 0, step, -step)
         start = pack3(theta0, rho0, grad0)  # (B, 3, D)
 
         fzero = lp0 * 0  # (B, 1) f32, materialized layout
@@ -232,7 +238,7 @@ def make_fused_transition(
             ms=start, ms_joint=joint0,
             halvings=izero,
             dt=dt0,
-            steps_total=min_micro,
+            steps_total=min_micro_w,
             phase=izero,  # 0 fwd, 1 rev
             rng_ctr=ctr0,
             cur=start,
@@ -247,12 +253,14 @@ def make_fused_transition(
 
         def body(carry):
             s = dict(zip(keys, carry))
-            live = s["done"] == 0
-            fwd_dir = s["fwd_dir"] != 0
+            live_w = s["done"] == 0          # (B, L) bool
+            live = live_w[:, :1]             # (B, 1) view for float math
+            fwd_dir = s["fwd_dir"][:, :1] != 0
             ctr = s["rng_ctr"]
 
             # ---- integrate the attempt (masked fori over the tile max) ----
-            n_eff = _iwhere(live, s["steps_total"], jnp.zeros_like(s["steps_total"]))
+            n_eff_w = _iwhere(live_w, s["steps_total"], s["steps_total"] * 0)
+            n_eff = n_eff_w[:, :1]
             max_n = jnp.max(n_eff)
 
             def istep(i, c):
@@ -278,16 +286,16 @@ def make_fused_transition(
             cur_n = pack3(th, rh, gr)
             n_grads = s["n_grads"] + n_eff
             joint_n = lp_n + kinetic(rh, inv_mass)
-            in_fwd = s["phase"] == 0
+            in_fwd = s["phase"][:, :1] == 0
 
             # ---- forward attempt completed ----
             f_err = jnp.abs(s["ms_joint"] - joint_n)
             f_ok = f_err <= max_error
             f_done = live & in_fwd
-            need_rev = s["steps_total"] >= 2 * min_micro
+            need_rev = s["steps_total"][:, :1] >= 2 * min_micro
             start_rev = f_done & f_ok & need_rev
             leaf_ok = f_done & f_ok & ~need_rev
-            more_h = (s["halvings"] + 1) < max_step_halvings
+            more_h = (s["halvings"][:, :1] + 1) < max_step_halvings
             restart = f_done & ~f_ok & more_h
             leaf_fail = f_done & ~f_ok & ~more_h
 
@@ -296,7 +304,7 @@ def make_fused_transition(
             r_err = jnp.abs(joint_n - s["fwd_joint"])
             r_within = r_err <= max_error
             leaf_fail = leaf_fail | (r_done & r_within)
-            more_rev = s["steps_total"] >= 2 * min_micro
+            more_rev = s["steps_total"][:, :1] >= 2 * min_micro
             next_rev = r_done & ~r_within & more_rev
             leaf_ok = leaf_ok | (r_done & ~r_within & ~more_rev)
 
@@ -308,7 +316,7 @@ def make_fused_transition(
             # ---- merge cascade (level-indexed static slots) ----
             leaf_v = pack8(fwd[:, 0], fwd[:, 1], fwd[:, 2])
             leaf_s = pack_s(fwd_joint, fwd_joint, fwd_lp, fwd_joint)
-            lp1 = s["leaf_idx"] + 1
+            lp1 = s["leaf_idx"][:, :1] + 1
             low_bit = jnp.bitwise_and(lp1, -lp1)
             # ctz via popcount(low_bit - 1)
             n_merges = jnp.sum(
@@ -333,7 +341,9 @@ def make_fused_transition(
             leaf_ok = leaf_ok & ok
 
             new_leaf_idx = s["leaf_idx"] + 1
-            subtree_done = leaf_ok & (new_leaf_idx >= s["n_leaves"])
+            subtree_done = leaf_ok & (
+                new_leaf_idx[:, :1] >= s["n_leaves"][:, :1]
+            )
             push = leaf_ok & ~subtree_done
             slot = jax.lax.broadcasted_iota(jnp.int32, (1, MD, 1, 1), 1)
             wmask = push[:, :, None, None] & (n_merges[:, :, None, None] == slot)
@@ -350,8 +360,8 @@ def make_fused_transition(
             acc_s = jnp.where(subtree_done, comb_s, s["acc_s"])
             end_uturn = subtree_done & ut_top
             new_depth = s["depth"] + 1
-            deeper = subtree_done & ~ut_top & (new_depth <= MD)
-            exhausted = subtree_done & ~ut_top & (new_depth > MD)
+            deeper = subtree_done & ~ut_top & (new_depth[:, :1] <= MD)
+            exhausted = subtree_done & ~ut_top & (new_depth[:, :1] > MD)
 
             fail = leaf_fail | sub_uturn
             done = _iwhere(fail | end_uturn | exhausted, jnp.ones_like(s["done"]), s["done"])
@@ -361,7 +371,7 @@ def make_fused_transition(
 
             u, ctr = draw_uniform(ctr)
             new_dir = _iwhere(deeper, (u < 0.5).astype(jnp.int32), s["fwd_dir"])
-            new_dir_b = new_dir != 0
+            new_dir_b = new_dir[:, :1] != 0
             depth = _iwhere(deeper, new_depth, s["depth"])
             n_leaves = _iwhere(deeper, jnp.left_shift(jnp.ones_like(new_depth), new_depth - 1),
                               s["n_leaves"])
@@ -403,7 +413,7 @@ def make_fused_transition(
 
             # frozen lanes keep all state (the masks above already guard,
             # but done lanes must not advance n_grads)
-            n_grads = jnp.where(live, n_grads, s["n_grads"])
+            n_grads = _iwhere(live, n_grads, s["n_grads"])
 
             new = dict(
                 done=done, depth=depth, out_depth=out_depth,
@@ -430,8 +440,8 @@ def make_fused_transition(
         theta_out[...] = fs["acc_v"][:, _TS]
         grad_out[...] = fs["acc_v"][:, _GS]
         lp_out[...] = fs["acc_s"][:, _LS:_LS + 1]
-        depth_out[...] = fs["out_depth"]
-        ngrads_out[...] = fs["n_grads"]
+        depth_out[...] = fs["out_depth"][:, :1]
+        ngrads_out[...] = fs["n_grads"][:, :1]
 
     @functools.partial(jax.jit, static_argnames=())
     def fused_transition(seed, theta, rho, logp0, grad0, step, inv_mass,
