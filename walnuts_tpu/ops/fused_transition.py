@@ -1,5 +1,18 @@
 """EXPERIMENTAL: the entire WALNUTS transition as one Pallas kernel.
 
+STATUS: correct and tested in interpret mode (tests/test_fused_transition.py
+— moments, halving/reversibility paths, statistics matching the XLA
+transition). Real-TPU compilation currently dies inside the Mosaic
+compiler on this JAX build (jax 0.9.0 via the axon remote-compile path):
+after working around "Invalid relayout" on (B, 1) integer loop carries
+(fixed: full-lane-width integer state, data-derived inits, arithmetic
+blends instead of select_n) and "offset mismatch on non-concat dimension"
+(fixed: row-masked span builds instead of mid-dim concat/stack), the
+compiler aborts with `Check failed: limits[i] <= dim(i) (16 vs. 1)` with
+no location — an internal bug, also after flattening all 4D state to 3D.
+Re-attempt on a newer toolchain; the expected payoff is 10-50x on
+bandwidth-bound targets (see docs/ROADMAP.md).
+
 The XLA transition (core/transition.py) is bandwidth-bound on its
 per-attempt span/stack bookkeeping: at 4096 chains x funnel(101) each
 outer iteration moves ~250 MB of HBM traffic plus per-op launch latency.
@@ -233,8 +246,6 @@ def make_fused_transition(
             fwd_dir=fwd0,
             leaf_idx=izero,
             n_leaves=izero + 1,
-            stack_v=point_v[:, None] * jnp.float32(0.0) + jnp.zeros((B, MD, 8, D), jnp.float32),
-            stack_s=point_s[:, None] * jnp.float32(0.0) + jnp.zeros((B, MD, 4), jnp.float32),
             ms=start, ms_joint=joint0,
             halvings=izero,
             dt=dt0,
@@ -245,6 +256,11 @@ def make_fused_transition(
             fwd=start, fwd_lp=lp0, fwd_joint=joint0,
             n_grads=izero + 1,
         )
+        # merge stack as per-slot fields: 4D arrays hit Mosaic aborts, and
+        # all slot indices are static anyway (level-indexed stack)
+        for _i in range(MD):
+            init[f"stk{_i}_v"] = point_v * jnp.float32(0.0)
+            init[f"stk{_i}_s"] = point_s * jnp.float32(0.0)
         keys = sorted(init.keys())
 
         def cond(carry):
@@ -317,19 +333,21 @@ def make_fused_transition(
             leaf_v = pack8(fwd[:, 0], fwd[:, 1], fwd[:, 2])
             leaf_s = pack_s(fwd_joint, fwd_joint, fwd_lp, fwd_joint)
             lp1 = s["leaf_idx"][:, :1] + 1
-            low_bit = jnp.bitwise_and(lp1, -lp1)
-            # ctz via popcount(low_bit - 1)
-            n_merges = jnp.sum(
-                jnp.right_shift(low_bit[:, :, None] - 1,
-                                jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2))
-                & 1, axis=2).astype(jnp.int32)
+            # ctz(lp1) as unrolled low-bit tests (n_merges <= MD): count i
+            # with the low i bits of lp1 all zero. Keeps everything 2D —
+            # the 3D popcount formulation hit a Mosaic compiler abort.
+            n_merges = lp1 * 0
+            for i in range(1, MD + 1):
+                n_merges = n_merges + (
+                    jnp.bitwise_and(lp1, (1 << i) - 1) == 0
+                ).astype(jnp.int32)
 
             cur_v, cur_s = leaf_v, leaf_s
             ok = jnp.ones((B, 1), jnp.bool_)
             for i in range(MD):
                 do = leaf_ok & (i < n_merges) & ok
-                top_v = s["stack_v"][:, i]
-                top_s = s["stack_s"][:, i]
+                top_v = s[f"stk{i}_v"]
+                top_s = s[f"stk{i}_s"]
                 ut = uturn(top_v, cur_v, fwd_dir, inv_mass)
                 u, ctr = draw_uniform(ctr)
                 m_v, m_s = combine(u, top_v, top_s,
@@ -345,10 +363,11 @@ def make_fused_transition(
                 new_leaf_idx[:, :1] >= s["n_leaves"][:, :1]
             )
             push = leaf_ok & ~subtree_done
-            slot = jax.lax.broadcasted_iota(jnp.int32, (1, MD, 1, 1), 1)
-            wmask = push[:, :, None, None] & (n_merges[:, :, None, None] == slot)
-            stack_v = jnp.where(wmask, cur_v[:, None], s["stack_v"])
-            stack_s = jnp.where(wmask[:, :, :, 0], cur_s[:, None], s["stack_s"])
+            stacks = {}
+            for i in range(MD):
+                wm = push & (n_merges == i)
+                stacks[f"stk{i}_v"] = jnp.where(wm[:, :, None], cur_v, s[f"stk{i}_v"])
+                stacks[f"stk{i}_s"] = jnp.where(wm, cur_s, s[f"stk{i}_s"])
 
             # ---- top-level Metropolis + combined U-turn ----
             ut_top = uturn(s["acc_v"], cur_v, fwd_dir, inv_mass)
@@ -418,7 +437,7 @@ def make_fused_transition(
             new = dict(
                 done=done, depth=depth, out_depth=out_depth,
                 acc_v=acc_v, acc_s=acc_s, fwd_dir=new_dir, leaf_idx=leaf_idx,
-                n_leaves=n_leaves, stack_v=stack_v, stack_s=stack_s,
+                n_leaves=n_leaves, **stacks,
                 ms=ms, ms_joint=ms_joint, halvings=halvings, dt=dt,
                 steps_total=steps_total, phase=phase, rng_ctr=ctr, cur=cur,
                 fwd=fwd, fwd_lp=fwd_lp, fwd_joint=fwd_joint, n_grads=n_grads,
