@@ -44,12 +44,16 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # sticking and poisoning the cross-chain ESS; the native baseline is
     # measured with the same budget (BASELINE_MAX_HALVINGS=8).
     halvings = int(os.environ.get("BENCH_HALVINGS", 8))
+    # fixed 100-iteration blocks: the short compile pass (100+100 iters)
+    # compiles the same block programs the timed 400+400 run reuses
+    block = int(os.environ.get("BENCH_BLOCK", 100))
     warmup_cfg = WarmupConfig(
-        min_iter=warmup_iters, max_iter=warmup_iters, block_size=warmup_iters
+        min_iter=warmup_iters, max_iter=warmup_iters,
+        block_size=min(block, warmup_iters),
     )
     sampling_cfg = SamplingConfig(
         min_iter=sampling_iters, max_iter=sampling_iters,
-        block_size=sampling_iters, max_step_halvings=halvings,
+        block_size=min(block, sampling_iters), max_step_halvings=halvings,
     )
 
     base = jax.random.key(seed)
@@ -109,10 +113,11 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
         logp, dim = logistic_regression()
     logp_grad = make_logp_grad(logp)
 
-    # compile pass (identical shapes; the timed run below reuses programs
-    # through jit caches within this process)
-    _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed,
-              jnp.float32)
+    # compile pass: one block of each phase compiles the programs the
+    # timed run reuses (identical shapes via the fixed block size)
+    block = int(os.environ.get("BENCH_BLOCK", 100))
+    _run_once(logp_grad, dim, n_chains, min(block, warmup_iters),
+              min(block, sampling_iters), seed, jnp.float32)
     r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
                   seed + 1, jnp.float32)
 
