@@ -1,0 +1,111 @@
+"""Runtime controller tests: the cross-chain convergence reductions match
+the reference formulas (adapt.hpp:203-225, sampler.hpp:142-145), computed
+against NumPy oracles on hand-built states."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from walnuts_tpu.config import SamplingConfig, WarmupConfig
+from walnuts_tpu.core.adapt import mass_estimator_inv_mass
+from walnuts_tpu.core.sampler import SampleState, init_warmup_state
+from walnuts_tpu.models import std_normal
+from walnuts_tpu.ops.math import make_logp_grad
+from walnuts_tpu.parallel.runtime import (
+    _sampling_rhat,
+    _warmup_convergence_stats,
+    run_warmup,
+)
+
+
+def make_warmup_states(n_chains, dim, seed=0):
+    wcfg = WarmupConfig(min_iter=1, max_iter=2)
+    scfg = SamplingConfig(min_iter=1, max_iter=2)
+    keys = jax.random.split(jax.random.key(seed), n_chains)
+    theta = jax.random.normal(jax.random.key(seed + 1), (n_chains, dim))
+    # distinct masses/steps per chain so the reductions have structure
+    mass = jnp.exp(jax.random.normal(jax.random.key(seed + 2), (n_chains, dim)))
+    step = jnp.exp(0.1 * jax.random.normal(jax.random.key(seed + 3), (n_chains,)))
+    return jax.vmap(lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg))(
+        keys, theta, mass, step
+    )
+
+
+class TestWarmupConvergenceStats:
+    def test_matches_reference_formula(self):
+        """max L2 rel-diff of per-chain mass from the geometric mean, and
+        max SIGNED rel-diff of step sizes (the reference fmaxes signed
+        values, adapt.hpp:210-217)."""
+        state = make_warmup_states(6, 4)
+        mrm, mrs = _warmup_convergence_stats(state)
+
+        inv_mass = np.asarray(jax.vmap(mass_estimator_inv_mass)(state.mass))
+        mass = 1.0 / inv_mass
+        geo = np.exp(np.mean(np.log(mass), axis=0))
+        rel_mass = np.linalg.norm((mass - geo) / geo, axis=1).max()
+        steps = np.exp(np.asarray(state.adam.log_step))
+        geo_s = np.exp(np.mean(np.log(steps)))
+        rel_step = ((steps - geo_s) / geo_s).max()
+
+        assert float(mrm) == pytest.approx(rel_mass, rel=1e-6)
+        assert float(mrs) == pytest.approx(rel_step, rel=1e-6)
+
+    def test_identical_chains_converged(self):
+        state = make_warmup_states(4, 3)
+        # force identical adaptation state across chains
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:1], x.shape) if x.ndim >= 1 else x,
+            state,
+        )
+        mrm, mrs = _warmup_convergence_stats(state)
+        assert float(mrm) == pytest.approx(0.0, abs=1e-7)
+        assert float(mrs) == pytest.approx(0.0, abs=1e-7)
+
+
+class TestSamplingRhat:
+    def test_matches_reference_formula(self):
+        """r_hat = sqrt(1 + var(chain means, ddof=1)/mean(chain vars))."""
+        rng = np.random.default_rng(0)
+        means = rng.standard_normal(5)
+        m2s = np.abs(rng.standard_normal(5)) * 9.0  # counts=10 -> var=m2/9
+        state = SampleState(
+            key=jax.random.split(jax.random.key(0), 5),
+            theta=jnp.zeros((5, 2)),
+            n_grads=jnp.zeros(5, jnp.int32),
+            lp_count=jnp.full((5,), 10.0),
+            lp_mean=jnp.asarray(means),
+            lp_m2=jnp.asarray(m2s),
+        )
+        got = float(_sampling_rhat(state))
+        expected = np.sqrt(1.0 + means.var(ddof=1) / (m2s / 9.0).mean())
+        assert got == pytest.approx(expected, rel=1e-6)
+
+
+class TestWarmupEarlyStop:
+    def test_converged_flag_set_when_tolerances_met(self):
+        """Loose tolerances stop warmup at min_iter; tight ones run to
+        max_iter (the controller decision logic, adapt.hpp:219-225)."""
+        logp, dim = std_normal(2)
+        lg = make_logp_grad(logp)
+        scfg = SamplingConfig(min_iter=2, max_iter=2,
+                              max_trajectory_doublings=3, max_step_halvings=3)
+
+        def run(mass_tol, step_tol):
+            wcfg = WarmupConfig(min_iter=4, max_iter=40, block_size=4,
+                                mass_converge_tol=mass_tol,
+                                step_size_converge_tol=step_tol)
+            keys = jax.random.split(jax.random.key(5), 4)
+            theta = jax.random.normal(jax.random.key(6), (4, dim))
+            mass = jnp.ones((4, dim))
+            step = jnp.full((4,), 0.5)
+            ws = jax.vmap(
+                lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+            )(keys, theta, mass, step)
+            _, _, _, info = run_warmup(lg, ws, wcfg, scfg)
+            return info
+
+        loose = run(1e6, 1e6)
+        assert loose.converged_warmup and loose.warmup_iters == 4
+        tight = run(1e-9, 1e-9)
+        assert not tight.converged_warmup and tight.warmup_iters == 40
