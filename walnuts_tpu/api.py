@@ -12,7 +12,7 @@ covered by ``walnuts_tpu.models.stan`` and ``walnuts_pyfunc`` below).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ from walnuts_tpu.core.sampler import (
     init_warmup_state,
 )
 from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
-from walnuts_tpu.parallel.runtime import RunInfo, run_sampling, run_warmup, shard_chains
+from walnuts_tpu.parallel.runtime import RunInfo, run_sampling, run_warmup
 from walnuts_tpu.utils.output import WalnutsOutputArray, WarmupInfo, prepare_seed
 
 Array = jax.Array

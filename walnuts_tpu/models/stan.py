@@ -25,8 +25,8 @@ import ctypes
 import json
 import os
 import subprocess
-from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence, Union
+from dataclasses import dataclass
+from typing import Any, List, Optional, Union
 
 import numpy as np
 

@@ -45,7 +45,6 @@ transition given a pre-drawn momentum.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

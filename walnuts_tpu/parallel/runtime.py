@@ -32,8 +32,6 @@ from walnuts_tpu.core.sampler import (
     FrozenParams,
     SampleState,
     WarmupState,
-    freeze_params,
-    init_sample_state,
     make_sample_step,
     make_warmup_step,
 )
