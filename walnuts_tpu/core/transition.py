@@ -70,16 +70,22 @@ Array = jax.Array
 _PH_FWD = 0
 _PH_REV = 1
 
-# packed span row indices
-_THETA_BK, _RHO_BK, _GRAD_BK = 0, 1, 2
-_THETA_FW, _RHO_FW, _GRAD_FW = 3, 4, 5
-_THETA_SEL, _GRAD_SEL = 6, 7
+# packed span row indices. Spans carry NO gradients: endpoint gradients
+# only matter where integration (re)starts — the frontier cursor has them,
+# and the orbit's two endpoint gradients are tracked as separate state —
+# while the selected state's gradient is re-evaluated once per transition.
+# Dropping the 3 gradient rows cuts span/stack memory traffic by 37%.
+_THETA_BK, _RHO_BK = 0, 1
+_THETA_FW, _RHO_FW = 2, 3
+_THETA_SEL = 4
+_SPAN_ROWS = 5
 _LOGP_BK, _LOGP_FW, _LOGP_SEL, _LOGW = 0, 1, 2, 3
 
 
-def span_from_point(theta, rho, grad, logp_pos, logp_joint) -> Tuple[Array, Array]:
-    """Single-state span (``SpanW::from_initial_point``, walnuts.hpp:47-63)."""
-    v = jnp.stack([theta, rho, grad, theta, rho, grad, theta, grad])
+def span_from_point(theta, rho, logp_pos, logp_joint) -> Tuple[Array, Array]:
+    """Single-state span (``SpanW::from_initial_point``, walnuts.hpp:47-63,
+    minus the gradient caches — see the row-layout note above)."""
+    v = jnp.stack([theta, rho, theta, rho, theta])
     s = jnp.stack([logp_joint, logp_joint, logp_pos, logp_joint])
     return v, s
 
@@ -112,9 +118,9 @@ def span_combine(unif, older_v, older_s, newer_v, newer_s, forward, barker: bool
     log_denom = logw_total if barker else older_s[_LOGW]
     take_new = jnp.log(unif) < (newer_s[_LOGW] - log_denom)
 
-    bk_v = jnp.where(forward, older_v[:3], newer_v[:3])
-    fw_v = jnp.where(forward, newer_v[3:6], older_v[3:6])
-    sel_v = jnp.where(take_new, newer_v[6:8], older_v[6:8])
+    bk_v = jnp.where(forward, older_v[:2], newer_v[:2])
+    fw_v = jnp.where(forward, newer_v[2:4], older_v[2:4])
+    sel_v = jnp.where(take_new, newer_v[4:5], older_v[4:5])
     v = jnp.concatenate([bk_v, fw_v, sel_v], axis=0)
 
     s = jnp.stack(
@@ -135,12 +141,14 @@ class TransitionState(NamedTuple):
     done: Array            # bool
     depth: Array           # int32, current doubling (1-based)
     out_depth: Array       # int32, reported depth at termination
-    acc_v: Array           # (8, D) accumulated orbit vectors
+    acc_v: Array           # (5, D) accumulated orbit vectors
     acc_s: Array           # (4,) accumulated orbit scalars
+    acc_grad_bk: Array     # (D,) gradient at the orbit's backward endpoint
+    acc_grad_fw: Array     # (D,) gradient at the orbit's forward endpoint
     forward: Array         # bool, direction of travel of current subtree
     leaf_idx: Array        # int32
     n_leaves: Array        # int32 (= 2^(depth-1))
-    stack_v: Array         # (max_depth, 8, D) merge stack, slot i = the
+    stack_v: Array         # (max_depth, 5, D) merge stack, slot i = the
                            # span of the completed size-2^i subtree
     stack_s: Array         # (max_depth, 4)
     ms: Array              # (3, D) macro-step start [theta, rho, grad]
@@ -209,7 +217,7 @@ def make_transition(
         rho = z / jnp.sqrt(inv_mass)  # chol(mass) = 1/sqrt(inv_mass)
         logp0, grad0 = logp_grad(theta)
         joint0 = logp0 + logp_momentum(rho, inv_mass)
-        acc_v, acc_s = span_from_point(theta, rho, grad0, logp0, joint0)
+        acc_v, acc_s = span_from_point(theta, rho, logp0, joint0)
 
         forward0 = jax.random.bernoulli(k_dir)
         dt0 = jnp.where(forward0, step, -step)
@@ -222,6 +230,8 @@ def make_transition(
             out_depth=jnp.int32(max_depth + 1),
             acc_v=acc_v,
             acc_s=acc_s,
+            acc_grad_bk=grad0,
+            acc_grad_fw=grad0,
             forward=forward0,
             leaf_idx=jnp.int32(0),
             n_leaves=jnp.int32(1),
@@ -333,7 +343,7 @@ def make_transition(
             # so the cascade lowers to masked selects instead of per-lane
             # gathers/scatters (which serialize on TPU).
             leaf_v, leaf_s = span_from_point(
-                fwd[0], fwd[1], fwd[2], fwd_logp_pos, fwd_joint
+                fwd[0], fwd[1], fwd_logp_pos, fwd_joint
             )
             n_merges = count_trailing_zeros(s.leaf_idx + 1)
             cur_v, cur_s = leaf_v, leaf_s
@@ -372,6 +382,10 @@ def make_transition(
             )
             acc_v = jnp.where(subtree_done, comb_v, s.acc_v)
             acc_s = jnp.where(subtree_done, comb_s, s.acc_s)
+            # the orbit endpoint in the travel direction becomes the last
+            # leaf's endpoint, whose gradient the cursor still holds
+            acc_grad_fw = jnp.where(subtree_done & s.forward, fwd[2], s.acc_grad_fw)
+            acc_grad_bk = jnp.where(subtree_done & ~s.forward, fwd[2], s.acc_grad_bk)
             end_uturn = subtree_done & ut_top
             new_depth = s.depth + 1
             deeper = subtree_done & ~ut_top & (new_depth <= max_depth)
@@ -396,9 +410,11 @@ def make_transition(
             # macro-step start for the next leaf: the frontier is the last
             # leaf endpoint within a subtree, or the orbit endpoint in the
             # travel direction when a new doubling begins.
-            acc_end = jnp.where(
-                new_dir, acc_v[_THETA_FW:_GRAD_FW + 1], acc_v[_THETA_BK:_GRAD_BK + 1]
-            )
+            acc_end = jnp.stack([
+                jnp.where(new_dir, acc_v[_THETA_FW], acc_v[_THETA_BK]),
+                jnp.where(new_dir, acc_v[_RHO_FW], acc_v[_RHO_BK]),
+                jnp.where(new_dir, acc_grad_fw, acc_grad_bk),
+            ])
             acc_end_joint = jnp.where(new_dir, acc_s[_LOGP_FW], acc_s[_LOGP_BK])
 
             next_leaf = push  # continue current subtree from the new frontier
@@ -439,6 +455,7 @@ def make_transition(
             return TransitionState(
                 key=key, done=done, depth=depth, out_depth=out_depth,
                 acc_v=acc_v, acc_s=acc_s,
+                acc_grad_bk=acc_grad_bk, acc_grad_fw=acc_grad_fw,
                 forward=new_dir, leaf_idx=leaf_idx, n_leaves=n_leaves,
                 stack_v=stack_v, stack_s=stack_s,
                 ms=ms, ms_joint=ms_joint,
@@ -450,12 +467,17 @@ def make_transition(
             )
 
         final = jax.lax.while_loop(cond, body, state)
+        # the selected state's gradient is not cached in the slim spans;
+        # one re-evaluation (counted) replaces the reference's per-span
+        # gradient cache (SpanW::grad_select_, walnuts.hpp:121-124)
+        theta_sel = final.acc_v[_THETA_SEL]
+        _, grad_sel = logp_grad(theta_sel)
         return TransitionResult(
-            theta=final.acc_v[_THETA_SEL],
-            grad=final.acc_v[_GRAD_SEL],
+            theta=theta_sel,
+            grad=grad_sel,
             logp=final.acc_s[_LOGP_SEL],
             depth=final.out_depth,
-            n_grads=final.n_grads,
+            n_grads=final.n_grads + 1,
             adam=final.adam,
             key=final.key,
         )
