@@ -92,8 +92,6 @@ class TestFusedTransition:
         theta0 = jax.random.normal(jax.random.key(4), (64, dim), jnp.float32)
         run = jax.jit(lambda c: jax.lax.scan(body, c, None, length=200))
         (_, _), (depths_x, ngs_x) = run((keys, theta0))
-        # mean tree depth and gradient counts agree (the XLA path counts
-        # one extra selected-state re-evaluation per transition that the
-        # kernel's cached-gradient spans do not need)
+        # mean tree depth and gradient counts agree within a few percent
         assert abs(depths_f.mean() - np.asarray(depths_x).mean()) < 0.25
-        assert abs((ngs_f.mean() + 1.0) / np.asarray(ngs_x).mean() - 1.0) < 0.1
+        assert abs(ngs_f.mean() / np.asarray(ngs_x).mean() - 1.0) < 0.1

@@ -139,16 +139,16 @@ class TestStructure:
     def test_grad_count_matches_leaf_structure(self):
         """With min_micro=1 and a stable step (no halvings, no
         reversibility work), gradient evals = 1 (initial) + number of
-        leaves + 1 (selected-state re-evaluation); a U-turn at depth d
-        implies between 2^(d-1) and 2^d - 1 leaves; depth = max_depth+1
-        means the full orbit of 2^max_depth - 1 leaves completed."""
+        leaves; a U-turn at depth d implies between 2^(d-1) and 2^d - 1
+        leaves; depth = max_depth+1 means the full orbit of 2^max_depth - 1
+        leaves completed."""
         for seed in range(8):
             r = self._result(seed, step=0.25)  # small step: no halvings
             depth, n = int(r.depth), int(r.n_grads)
             if depth == 6:
-                assert n == 2 + (2**5 - 1)
+                assert n == 1 + (2**5 - 1)
             else:
-                assert 2 + 2 ** (depth - 1) <= n <= 2 + 2**depth - 1
+                assert 1 + 2 ** (depth - 1) <= n <= 1 + 2**depth - 1
 
     def test_bad_init_returns_start(self):
         """A -inf starting log density fails every macro step; the selected

@@ -467,17 +467,25 @@ def make_transition(
             )
 
         final = jax.lax.while_loop(cond, body, state)
-        # the selected state's gradient is not cached in the slim spans;
-        # one re-evaluation (counted) replaces the reference's per-span
-        # gradient cache (SpanW::grad_select_, walnuts.hpp:121-124)
+        # The selected state's gradient is not cached in the slim spans.
+        # Only warmup consumes it (the mass estimator's score,
+        # adaptive_walnuts.hpp:247), so it is re-evaluated — one counted
+        # call replacing the reference's per-span cache
+        # (SpanW::grad_select_, walnuts.hpp:121-124) — only when adapting;
+        # fixed-parameter sampling pays nothing and returns zeros.
         theta_sel = final.acc_v[_THETA_SEL]
-        _, grad_sel = logp_grad(theta_sel)
+        if adapt_step_size:
+            _, grad_sel = logp_grad(theta_sel)
+            n_grads = final.n_grads + 1
+        else:
+            grad_sel = jnp.zeros_like(theta_sel)
+            n_grads = final.n_grads
         return TransitionResult(
             theta=theta_sel,
             grad=grad_sel,
             logp=final.acc_s[_LOGP_SEL],
             depth=final.out_depth,
-            n_grads=final.n_grads + 1,
+            n_grads=n_grads,
             adam=final.adam,
             key=final.key,
         )
