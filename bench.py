@@ -83,9 +83,11 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
 
     params = jax.vmap(freeze_params)(wstate)
     sstate = jax.vmap(init_sample_state)(wstate)
+    groups = int(os.environ.get("BENCH_GROUPS", 16))
     t0 = time.time()
     sstate, draws, _, info = run_sampling(
-        logp_grad, sstate, params, sampling_cfg, info=info
+        logp_grad, sstate, params, sampling_cfg, info=info,
+        chain_groups=groups,
     )
     jax.block_until_ready(sstate)
     sampling_time = time.time() - t0

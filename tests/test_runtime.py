@@ -109,3 +109,55 @@ class TestWarmupEarlyStop:
         assert loose.converged_warmup and loose.warmup_iters == 4
         tight = run(1e-9, 1e-9)
         assert not tight.converged_warmup and tight.warmup_iters == 40
+
+
+class TestChainGroups:
+    def test_grouped_sampling_matches_contracts_and_order(self):
+        """chain_groups sorts chains internally but outputs must come back
+        in the caller's order with identical per-chain results (the
+        transition is per-chain deterministic given its key)."""
+        from walnuts_tpu.core.sampler import (
+            freeze_params, init_sample_state, init_warmup_state,
+        )
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        logp, dim = std_normal(3)
+        lg = make_logp_grad(logp)
+        wcfg = WarmupConfig(min_iter=10, max_iter=10, block_size=10)
+        scfg = SamplingConfig(min_iter=30, max_iter=30, block_size=15,
+                              max_trajectory_doublings=4, max_step_halvings=4)
+        keys = jax.random.split(jax.random.key(9), 8)
+        theta0 = jax.random.normal(jax.random.key(10), (8, dim))
+        mass = jnp.ones((8, dim))
+        step = jnp.exp(0.3 * jax.random.normal(jax.random.key(11), (8,)))
+        ws = jax.vmap(lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg))(
+            keys, theta0, mass, step)
+        ws, _, _, info = run_warmup(lg, ws, wcfg, scfg)
+        params = jax.vmap(freeze_params)(ws)
+
+        # run_sampling donates its state buffers; copy for the second run
+        ss1 = jax.tree.map(jnp.array, jax.vmap(init_sample_state)(ws))
+        ss2 = jax.tree.map(jnp.array, ss1)
+        _, draws1, _, info1 = run_sampling(lg, ss1, params, scfg)
+        _, draws2, _, info2 = run_sampling(lg, ss2, params, scfg,
+                                           chain_groups=4)
+        np.testing.assert_allclose(draws1, draws2, atol=1e-6)
+        np.testing.assert_array_equal(info1.n_grads, info2.n_grads)
+
+    def test_bad_group_count_rejected(self):
+        from walnuts_tpu.core.sampler import (
+            freeze_params, init_sample_state, init_warmup_state,
+        )
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        logp, dim = std_normal(2)
+        lg = make_logp_grad(logp)
+        wcfg = WarmupConfig(min_iter=1, max_iter=1)
+        scfg = SamplingConfig(min_iter=2, max_iter=2)
+        keys = jax.random.split(jax.random.key(1), 6)
+        ws = jax.vmap(lambda k: init_warmup_state(
+            k, jnp.zeros(dim), jnp.ones(dim), jnp.float32(0.5), wcfg, scfg))(keys)
+        params = jax.vmap(freeze_params)(ws)
+        ss = jax.vmap(init_sample_state)(ws)
+        with pytest.raises(ValueError):
+            run_sampling(lg, ss, params, scfg, chain_groups=4)

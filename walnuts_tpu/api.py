@@ -79,6 +79,7 @@ def walnuts(
     return_info: bool = False,
     profile_dir: Optional[str] = None,
     fused: bool = False,
+    chain_groups: int = 1,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -99,6 +100,9 @@ def walnuts(
     - ``fused``: when True, ``logp`` already has the fused signature
       ``theta -> (logp, grad)`` (e.g. a Pallas kernel from
       ``walnuts_tpu.ops.pallas_kernels``) and autodiff is bypassed.
+    - ``chain_groups``: sort chains by adapted cost and sample them in
+      this many sequential groups so slow tail chains only stall their
+      own group (single-device only).
 
     Returns a list of per-chain draw arrays (``shape (draws, dim)``), each
     carrying ``.warmup`` with the adapted step size, optionally the adapted
@@ -253,6 +257,7 @@ def walnuts(
             sstate, draws, _logps, info = run_sampling(
                 logp_grad, sstate, params, sampling_cfg,
                 mesh=mesh, info=info, progress=progress, on_r_hat=on_r_hat,
+                chain_groups=chain_groups,
             )
 
     step_sizes = np.asarray(params.step_size)

@@ -199,12 +199,39 @@ def run_sampling(
     progress=None,
     on_r_hat=None,
     integrator=None,
+    chain_groups: int = 1,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
     Returns the final state, the draws ``(iters, C, D)``, their position
     log densities ``(iters, C)``, and run info.
+
+    ``chain_groups > 1`` sorts chains by their adapted per-draw cost
+    (``min_micro / step``) and runs the groups SEQUENTIALLY inside each
+    block: the batched transition's while loop runs until the slowest lane
+    finishes, so one pathological chain otherwise stalls the whole batch —
+    grouping similar-cost chains together bounds the stall to one group.
+    Outputs are returned in the original chain order. Single-device only
+    (incompatible with ``mesh``).
     """
+    permutation = None
+    if chain_groups > 1:
+        if mesh is not None:
+            raise ValueError("chain_groups requires mesh=None")
+        n_chains = int(params.step_size.shape[0])
+        if n_chains % chain_groups:
+            raise ValueError(
+                f"num_chains ({n_chains}) must divide by chain_groups "
+                f"({chain_groups})"
+            )
+        cost = np.asarray(params.min_micro, dtype=np.float64) / np.asarray(
+            params.step_size, dtype=np.float64
+        )
+        permutation = np.argsort(cost)
+        perm = jnp.asarray(permutation)
+        state = jax.tree.map(lambda x: x[perm], state)
+        params = jax.tree.map(lambda x: x[perm], params)
+
     state = shard_chains(state, mesh)
     params = shard_chains(params, mesh)
     sample_step = make_sample_step(logp_grad, sampling_cfg, integrator=integrator)
@@ -213,7 +240,18 @@ def run_sampling(
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def run_block(s: SampleState, p: FrozenParams, n: int):
         def body(s, _):
-            s, res = vstep(s, p)
+            if chain_groups > 1:
+                c = s.key.shape[0]
+                group = lambda x: x.reshape((chain_groups, c // chain_groups)
+                                            + x.shape[1:])
+                ungroup = lambda x: x.reshape((c,) + x.shape[2:])
+                sg = jax.tree.map(group, s)
+                pg = jax.tree.map(group, p)
+                sg, res = jax.lax.map(lambda a: vstep(*a), (sg, pg))
+                s = jax.tree.map(ungroup, sg)
+                res = jax.tree.map(ungroup, res)
+            else:
+                s, res = vstep(s, p)
             return s, (res.theta, res.logp)
         return jax.lax.scan(body, s, None, length=n)
 
@@ -253,6 +291,14 @@ def run_sampling(
     info.n_grads = np.asarray(state.n_grads)
     draws = np.concatenate(draws_host, axis=0) if draws_host else np.empty((0,))
     logps = np.concatenate(logps_host, axis=0) if logps_host else np.empty((0,))
+    if permutation is not None:
+        # restore the caller's chain order
+        inverse = np.argsort(permutation)
+        state = jax.tree.map(lambda x: x[jnp.asarray(inverse)], state)
+        info.n_grads = info.n_grads[inverse]
+        if draws.size:
+            draws = draws[:, inverse]
+            logps = logps[:, inverse]
     return state, draws, logps, info
 
 
