@@ -83,7 +83,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
 
     params = jax.vmap(freeze_params)(wstate)
     sstate = jax.vmap(init_sample_state)(wstate)
-    groups = int(os.environ.get("BENCH_GROUPS", 16))
+    groups = int(os.environ.get("BENCH_GROUPS", 1))
     t0 = time.time()
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
