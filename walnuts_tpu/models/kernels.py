@@ -39,14 +39,18 @@ def funnel_vg(dim: int = 10, scale: float = 3.0):
     inv_s2 = 1.0 / (scale * scale)
 
     def logp_grad(theta: Array) -> Tuple[Array, Array]:
-        v = theta[:, 0:1]                      # (B, 1)
-        x = theta[:, 1:]                       # (B, d_latent)
+        # column-masked formulation: no lane slicing/concatenation, which
+        # keeps the function usable inside Pallas kernels (Mosaic's lane
+        # offsets choke on mid-vector slices of unaligned widths)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, theta.shape[-1]), 1)
+        is_v = col == 0
+        v = jnp.sum(jnp.where(is_v, theta, 0.0), axis=-1, keepdims=True)
         e = jnp.exp(-v)
-        ssq = jnp.sum(x * x, axis=-1, keepdims=True)
+        ssq = jnp.sum(jnp.where(is_v, 0.0, theta * theta), axis=-1, keepdims=True)
         lp = (-0.5 * v * v * inv_s2 - 0.5 * ssq * e - 0.5 * d_latent * v)[:, 0]
         dv = -v * inv_s2 + 0.5 * ssq * e - 0.5 * d_latent
-        dx = -x * e
-        return lp, jnp.concatenate([dv, dx], axis=-1)
+        grad = jnp.where(is_v, dv, -theta * e)
+        return lp, grad
 
     return logp_grad, dim, ()
 
