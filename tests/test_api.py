@@ -204,3 +204,25 @@ class TestPerChainStepSizeInit:
             sample(step_size_init=np.array([0.25, 0.5, 0.7]))
         with pytest.raises(ValueError):
             sample(step_size_init=np.array([0.25, -0.5]))
+
+
+class TestCli:
+    def test_cli_smoke(self, tmp_path, capsys):
+        """The CLI runs end-to-end and prints the summary + profile
+        (the reference CLI's surface, stan_cli.cpp)."""
+        import subprocess, sys, os
+        out_file = tmp_path / "draws.npz"
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        res = subprocess.run(
+            [sys.executable, os.path.join(root, "examples", "walnuts_cli.py"),
+             "--model", "std_normal", "--dim", "3", "--chains", "2",
+             "--warmup", "5", "--sampling", "8", "--seed", "3", "--cpu",
+             "--out", str(out_file)],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "parameter" in res.stdout
+        assert "gradient evaluations:" in res.stdout
+        assert out_file.exists()
