@@ -131,3 +131,34 @@ class TestWalnutsStan:
         )
         with pytest.raises(KeyError):
             out[0]["nope"]
+
+
+class TestInitDicts:
+    def test_constrained_init_dicts_unconstrained_via_model(self):
+        """walnuts_stan accepts create_inits-style constrained dicts
+        (stan.py:233-236 semantics)."""
+        from walnuts_tpu.models.stan import walnuts_stan
+
+        out = walnuts_stan(
+            FAKE_SO, seed=9, num_chains=2,
+            min_warmup_iter=3, max_warmup_iter=3,
+            min_sampling_iter=4, max_sampling_iter=4,
+        )
+        inits = out[0].create_inits(seed=2, chains=2)
+        out2 = walnuts_stan(
+            FAKE_SO, seed=10, num_chains=2, inits=inits,
+            min_warmup_iter=3, max_warmup_iter=3,
+            min_sampling_iter=4, max_sampling_iter=4,
+        )
+        assert out2[0].data.shape == (4, 3)
+
+    def test_single_dict_init(self):
+        from walnuts_tpu.models.stan import walnuts_stan
+
+        out = walnuts_stan(
+            FAKE_SO, seed=11, num_chains=2,
+            inits={"mu": 0.5, "sigma": 1.0, "z": -0.2},
+            min_warmup_iter=2, max_warmup_iter=2,
+            min_sampling_iter=3, max_sampling_iter=3,
+        )
+        assert len(out) == 2

@@ -147,6 +147,22 @@ class StanBridge:
         )
         return logp, grad
 
+    def unconstrain_json(self, json_str: str) -> np.ndarray:
+        """Unconstrain one draw given as a JSON dict of constrained values
+        (bs_param_unconstrain_json; used for user inits, stan.py:233-236)."""
+        self._lib.wtpu_stan_unconstrain_json.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+        ]
+        unc = np.empty(self.param_unc_num, dtype=np.float64)
+        rc = self._lib.wtpu_stan_unconstrain_json(
+            self._handle, json_str.encode(),
+            unc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc != 0:
+            err = self._lib.wtpu_stan_last_error().decode()
+            raise RuntimeError(f"unconstrain failed: {err}")
+        return unc
+
     def constrain_batch(
         self,
         unc: np.ndarray,
@@ -282,6 +298,16 @@ def walnuts_stan(
 
     bridge = StanBridge(model_so, data=data, seed=seed, n_threads=n_threads)
     logp_fn, dim = make_stan_logp(bridge)
+
+    # constrained-scale init dicts (e.g. from StanOutput.create_inits,
+    # stan.py:108-145) are unconstrained through the model
+    inits = kwargs.get("inits")
+    if isinstance(inits, dict):
+        kwargs["inits"] = bridge.unconstrain_json(json.dumps(inits))
+    elif isinstance(inits, (list, tuple)) and inits and isinstance(inits[0], dict):
+        kwargs["inits"] = np.stack(
+            [bridge.unconstrain_json(json.dumps(d)) for d in inits]
+        )
 
     kwargs.setdefault("num_params", dim)
     kwargs["seed"] = seed
