@@ -144,6 +144,16 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
 def main():
     import jax
 
+    # persistent compile cache: repeat runs (and the driver's) skip the
+    # multi-minute XLA compiles
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     n_chains = int(os.environ.get("BENCH_CHAINS", 4096))
     warmup_iters = int(os.environ.get("BENCH_WARMUP", 400))
     sampling_iters = int(os.environ.get("BENCH_SAMPLING", 400))

@@ -80,6 +80,7 @@ def walnuts(
     profile_dir: Optional[str] = None,
     fused: bool = False,
     chain_groups: int = 1,
+    integrator=None,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -103,6 +104,9 @@ def walnuts(
     - ``chain_groups``: sort chains by adapted cost and sample them in
       this many sequential groups so slow tail chains only stall their
       own group (single-device only).
+    - ``integrator``: a fused attempt integrator from
+      ``walnuts_tpu.ops.integrator.make_pallas_integrator`` replacing the
+      inner leapfrog loop.
 
     Returns a list of per-chain draw arrays (``shape (draws, dim)``), each
     carrying ``.warmup`` with the adapted step size, optionally the adapted
@@ -244,6 +248,7 @@ def walnuts(
         wstate, warmup_draws, _warmup_logps, info = run_warmup(
             logp_grad, wstate, warmup_cfg, sampling_cfg,
             save_warmup=save_warmup, mesh=mesh, progress=progress,
+            integrator=integrator,
         )
 
         # --- freeze and sample (api.hpp:61-67) ---
@@ -257,7 +262,7 @@ def walnuts(
             sstate, draws, _logps, info = run_sampling(
                 logp_grad, sstate, params, sampling_cfg,
                 mesh=mesh, info=info, progress=progress, on_r_hat=on_r_hat,
-                chain_groups=chain_groups,
+                chain_groups=chain_groups, integrator=integrator,
             )
 
     step_sizes = np.asarray(params.step_size)
