@@ -25,13 +25,17 @@ real work in the sampler — plus O(D) masked bookkeeping:
     so a failing proposal rejects naturally.
 
 Memory layout: a span (the reference's ``SpanW``, walnuts.hpp:34-131) is
-PACKED into one ``(8, D)`` vector block plus one ``(4,)`` scalar block
+PACKED into one ``(5, D)`` vector block plus one ``(4,)`` scalar block
 instead of twelve separate pytree leaves. Row layout:
 
-  vectors: 0 theta_bk, 1 rho_bk, 2 grad_bk, 3 theta_fw, 4 rho_fw,
-           5 grad_fw, 6 theta_sel, 7 grad_sel
+  vectors: 0 theta_bk, 1 rho_bk, 2 theta_fw, 3 rho_fw, 4 theta_sel
   scalars: 0 logp_bk (joint), 1 logp_fw (joint), 2 logp_sel (position),
            3 logw (logsumexp of joints)
+
+The reference additionally caches three gradients per span; here the
+cursor and two explicit orbit-endpoint vectors carry the gradients
+integration needs, and the selected state's gradient is re-evaluated once
+per warmup transition (see the row-index note below).
 
 Packing turns every masked span update into a couple of wide selects
 instead of a dozen narrow ones. The merge stack (two arrays,
