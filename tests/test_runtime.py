@@ -161,3 +161,30 @@ class TestChainGroups:
         ss = jax.vmap(init_sample_state)(ws)
         with pytest.raises(ValueError):
             run_sampling(lg, ss, params, scfg, chain_groups=4)
+
+
+class TestDeviceDraws:
+    def test_device_draws_match_host_path(self):
+        from walnuts_tpu.core.sampler import (
+            freeze_params, init_sample_state, init_warmup_state,
+        )
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        logp, dim = std_normal(2)
+        lg = make_logp_grad(logp)
+        wcfg = WarmupConfig(min_iter=5, max_iter=5)
+        scfg = SamplingConfig(min_iter=10, max_iter=10, block_size=5,
+                              max_trajectory_doublings=3, max_step_halvings=3)
+        keys = jax.random.split(jax.random.key(2), 4)
+        ws = jax.vmap(lambda k: init_warmup_state(
+            k, jnp.zeros(dim), jnp.ones(dim), jnp.float32(0.5), wcfg, scfg))(keys)
+        ws, _, _, _ = run_warmup(lg, ws, wcfg, scfg)
+        params = jax.vmap(freeze_params)(ws)
+        ss1 = jax.tree.map(jnp.array, jax.vmap(init_sample_state)(ws))
+        ss2 = jax.tree.map(jnp.array, ss1)
+        _, d1, l1, _ = run_sampling(lg, ss1, params, scfg)
+        _, d2, l2, _ = run_sampling(lg, ss2, params, scfg, device_draws=True)
+        assert isinstance(d1, np.ndarray)
+        assert isinstance(d2, jax.Array)
+        np.testing.assert_array_equal(d1, np.asarray(d2))
+        np.testing.assert_array_equal(l1, np.asarray(l2))

@@ -9,8 +9,8 @@ after working around "Invalid relayout" on (B, 1) integer loop carries
 blends instead of select_n) and "offset mismatch on non-concat dimension"
 (fixed: row-masked span builds instead of mid-dim concat/stack), the
 compiler aborts with `Check failed: limits[i] <= dim(i) (16 vs. 1)` with
-no location — an internal bug that persists after flattening all 4D state
-to 3D, removing lane slicing/concat from the model kernels, and ruling
+no location — an internal bug that persists at max_depth=1, after
+flattening all 4D state to 3D, removing lane slicing/concat from the model kernels, and ruling
 out (via standalone probes that all compile) boolean/int selects, wide
 integer carries, never-written carries, inner-loop-derived masks, and
 row-masked pack/merge in isolation: only the full kernel triggers it.

@@ -200,11 +200,18 @@ def run_sampling(
     on_r_hat=None,
     integrator=None,
     chain_groups: int = 1,
+    device_draws: bool = False,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
     Returns the final state, the draws ``(iters, C, D)``, their position
     log densities ``(iters, C)``, and run info.
+
+    ``device_draws=True`` keeps the collected draws on the device
+    (returned as jax arrays) instead of streaming each block to the host —
+    on hosts with slow device links the transfer otherwise dominates the
+    sampling loop; diagnostics can then run on device
+    (``walnuts_tpu.summary_device``).
 
     ``chain_groups > 1`` sorts chains by their adapted per-draw cost
     (``min_micro / step``) and runs the groups SEQUENTIALLY inside each
@@ -272,8 +279,12 @@ def run_sampling(
                 n = min(n, sampling_cfg.min_iter - it)
             state, (theta, logp) = run_block(state, params, n)
             it += n
-            draws_host.append(np.asarray(theta))
-            logps_host.append(np.asarray(logp))
+            if device_draws:
+                draws_host.append(theta)
+                logps_host.append(logp)
+            else:
+                draws_host.append(np.asarray(theta))
+                logps_host.append(np.asarray(logp))
             if progress is not None:
                 progress("sampling", it)
             if it >= max(sampling_cfg.min_iter, 2) and it < sampling_cfg.max_iter:
@@ -289,16 +300,18 @@ def run_sampling(
     info.sampling_iters = it
     info.converged_sampling = converged
     info.n_grads = np.asarray(state.n_grads)
-    draws = np.concatenate(draws_host, axis=0) if draws_host else np.empty((0,))
-    logps = np.concatenate(logps_host, axis=0) if logps_host else np.empty((0,))
+    cat = jnp.concatenate if device_draws else np.concatenate
+    draws = cat(draws_host, axis=0) if draws_host else np.empty((0,))
+    logps = cat(logps_host, axis=0) if logps_host else np.empty((0,))
     if permutation is not None:
         # restore the caller's chain order
         inverse = np.argsort(permutation)
         state = jax.tree.map(lambda x: x[jnp.asarray(inverse)], state)
         info.n_grads = info.n_grads[inverse]
         if draws.size:
-            draws = draws[:, inverse]
-            logps = logps[:, inverse]
+            inv = jnp.asarray(inverse) if device_draws else inverse
+            draws = draws[:, inv]
+            logps = logps[:, inv]
     return state, draws, logps, info
 
 
