@@ -76,7 +76,10 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     )(keys, theta0, init_mass, step0)
 
     t0 = time.time()
-    wstate, _, _, info = run_warmup(logp_grad, wstate, warmup_cfg, sampling_cfg)
+    bf16 = bool(int(os.environ.get("BENCH_BF16_ENDS", 0)))
+    wstate, _, _, info = run_warmup(
+        logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16
+    )
     jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0
     warmup_grads = int(np.sum(np.asarray(wstate.n_grads)))
@@ -84,13 +87,14 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     params = jax.vmap(freeze_params)(wstate)
     sstate = jax.vmap(init_sample_state)(wstate)
     groups = int(os.environ.get("BENCH_GROUPS", 1))
+    bf16 = bool(int(os.environ.get("BENCH_BF16_ENDS", 0)))
     t0 = time.time()
     # draws stay device-resident during the timed loop (the C++ baseline's
     # in-RAM stores are likewise ~free); the host transfer is timed
     # separately below
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
-        chain_groups=groups, device_draws=True,
+        chain_groups=groups, device_draws=True, bf16_ends=bf16,
     )
     jax.block_until_ready((sstate, draws))
     sampling_time = time.time() - t0

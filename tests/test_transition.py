@@ -19,10 +19,11 @@ from walnuts_tpu.summary import effective_sample_size
 
 
 def run_chains(logp, dim, step, inv_mass, n_chains, n_iter, seed,
-               max_depth=6, max_halvings=6, min_micro=1, max_error=0.5):
+               max_depth=6, max_halvings=6, min_micro=1, max_error=0.5,
+               bf16_ends=False):
     lg = make_logp_grad(logp)
     tr = make_transition(lg, max_depth=max_depth, max_step_halvings=max_halvings,
-                         adapt_step_size=False)
+                         adapt_step_size=False, bf16_ends=bf16_ends)
     adam = adam_init(step, dtype=jnp.float64)
     inv_mass = jnp.asarray(inv_mass, dtype=jnp.float64)
 
@@ -89,6 +90,32 @@ class TestStdNormalMoments:
             logp, dim, 0.25, np.ones(3), 32, 300, 2, min_micro=4
         )
         moments_within_mcse(draws[100:], np.zeros(3), np.ones(3))
+
+
+class TestBf16Ends:
+    """bf16 stack-endpoint storage: the U-turn rule changes (both operands
+    rounded to bfloat16) but stays symmetric, so the invariant distribution
+    is untouched; draws themselves keep full precision."""
+
+    def test_moments_preserved(self):
+        logp, dim = ill_conditioned_normal(4)
+        draws, _, _ = run_chains(logp, dim, 0.8, np.ones(4), 32, 500, 13,
+                                 bf16_ends=True)
+        true_var = np.arange(1.0, 5.0) ** 2
+        moments_within_mcse(draws[150:], np.zeros(4), true_var)
+
+    def test_deterministic_and_full_precision_draws(self):
+        logp, dim = std_normal(4)
+        a, _, _ = run_chains(logp, dim, 0.5, np.ones(4), 8, 50, 21,
+                             bf16_ends=True)
+        b, _, _ = run_chains(logp, dim, 0.5, np.ones(4), 8, 50, 21,
+                             bf16_ends=True)
+        np.testing.assert_array_equal(a, b)
+        assert a.dtype == np.float64
+        # draws are NOT bf16-quantized (the selection rows stay f32/f64)
+        import ml_dtypes  # jax dependency, always present
+        bfq = a.astype(ml_dtypes.bfloat16).astype(np.float64)
+        assert not np.array_equal(a, bfq)
 
 
 class TestIllConditionedMoments:

@@ -81,6 +81,7 @@ def walnuts(
     fused: bool = False,
     chain_groups: int = 1,
     integrator=None,
+    bf16_ends: bool = False,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -107,6 +108,12 @@ def walnuts(
     - ``integrator``: a fused attempt integrator from
       ``walnuts_tpu.ops.integrator.make_pallas_integrator`` replacing the
       inner leapfrog loop.
+    - ``bf16_ends``: store the transition's merge-stack endpoint rows in
+      bfloat16 and round both operands of every U-turn test to bfloat16
+      (a valid sampler either way — see
+      ``walnuts_tpu.core.transition``). Cuts the dominant per-iteration
+      memory traffic ~30% for cheap-gradient models at large chain counts;
+      draws and integration keep full precision.
 
     Returns a list of per-chain draw arrays (``shape (draws, dim)``), each
     carrying ``.warmup`` with the adapted step size, optionally the adapted
@@ -248,7 +255,7 @@ def walnuts(
         wstate, warmup_draws, _warmup_logps, info = run_warmup(
             logp_grad, wstate, warmup_cfg, sampling_cfg,
             save_warmup=save_warmup, mesh=mesh, progress=progress,
-            integrator=integrator,
+            integrator=integrator, bf16_ends=bf16_ends,
         )
 
         # --- freeze and sample (api.hpp:61-67) ---
@@ -263,6 +270,7 @@ def walnuts(
                 logp_grad, sstate, params, sampling_cfg,
                 mesh=mesh, info=info, progress=progress, on_r_hat=on_r_hat,
                 chain_groups=chain_groups, integrator=integrator,
+                bf16_ends=bf16_ends,
             )
 
     step_sizes = np.asarray(params.step_size)

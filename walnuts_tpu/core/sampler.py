@@ -119,7 +119,8 @@ def init_warmup_state(
 
 
 def make_warmup_step(
-    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None
+    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None,
+    bf16_ends: bool = False,
 ) -> Callable[[WarmupState], Tuple[WarmupState, WarmupOutput]]:
     """One continuous-warmup iteration (adaptive_walnuts.hpp:234-251).
 
@@ -134,6 +135,7 @@ def make_warmup_step(
         max_step_halvings=sampling_cfg.max_step_halvings,
         adapt_step_size=True,
         integrator=integrator,
+        bf16_ends=bf16_ends,
     )
     max_error = sampling_cfg.max_hamiltonian_error
 
@@ -192,7 +194,8 @@ def init_sample_state(state: WarmupState) -> SampleState:
 
 
 def make_sample_step(
-    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None
+    logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None,
+    bf16_ends: bool = False,
 ) -> Callable[[SampleState, FrozenParams], Tuple[SampleState, TransitionResult]]:
     """One fixed-parameter WALNUTS draw (``WalnutsSampler::operator()``,
     walnuts.hpp:682-692), plus the running log-density Welford used by the
@@ -203,6 +206,7 @@ def make_sample_step(
         max_step_halvings=sampling_cfg.max_step_halvings,
         adapt_step_size=False,
         integrator=integrator,
+        bf16_ends=bf16_ends,
     )
     max_error = sampling_cfg.max_hamiltonian_error
 

@@ -38,13 +38,28 @@ integration needs, and the selected state's gradient is re-evaluated once
 per warmup transition (see the row-index note below).
 
 Packing turns every masked span update into a couple of wide selects
-instead of a dozen narrow ones. The merge stack (two arrays,
-``(max_depth, 8, D)`` + ``(max_depth, 4)``) is indexed by SUBTREE LEVEL:
-the span of a completed size-2^i subtree always lives at slot i, the
-i-th merge of a cascade always reads slot i, and the push lands at slot
+instead of a dozen narrow ones. The merge stack (three arrays,
+``(max_depth-1, 4, D)`` endpoints + ``(max_depth-1, D)`` selections +
+``(max_depth-1, 4)`` scalars) is indexed by SUBTREE LEVEL: the span of a
+completed size-2^i subtree always lives at slot i, the i-th merge of a
+cascade always reads slot i, and the push lands at slot
 ``ctz(leaf_idx+1)`` — every stack access is a static index lowered to
 masked selects. No per-lane gather/scatter survives (TPU serializes
 those), and the XLA graph is ~6x smaller than the naive pytree form.
+Only ``max_depth - 1`` slots exist because the final subtree of the
+deepest doubling is consumed by the top-level combine, never pushed.
+
+Optionally (``bf16_ends=True``) the four stacked ENDPOINT rows are stored
+in bfloat16, cutting the dominant while-loop carry traffic by ~40%.
+Stored endpoints feed only U-turn inner products and endpoint-row copies;
+integration restarts and the returned draw always read full-precision
+state (the cursor, the accumulated orbit's endpoints, and the separate
+f32 selection rows). To keep the sampler exactly valid, the U-turn test
+then rounds BOTH operands to bfloat16 — the decision becomes a
+deterministic function of the exact endpoint states that is identical no
+matter which side of a span pair came off the stack, so the stopping rule
+stays symmetric under orbit reversal (the invariance the NUTS
+detailed-balance argument needs).
 
 Because every loop iteration costs one gradient evaluation for every lane,
 SIMD divergence across vmapped chains wastes at most
@@ -94,18 +109,30 @@ def span_from_point(theta, rho, logp_pos, logp_joint) -> Tuple[Array, Array]:
     return v, s
 
 
-def span_uturn(older_v, newer_v, forward, inv_mass) -> Array:
+def span_uturn(older_v, newer_v, forward, inv_mass, round_ends: bool = False) -> Array:
     """U-turn test between adjacent spans (walnuts.hpp:192-201).
 
     ``older`` was built first; with ``forward`` travel it is the backward
     half, otherwise the forward half. ``delta = inv_mass .* (theta_end -
     theta_start)``; a U-turn occurs when either endpoint momentum opposes
     ``delta``.
+
+    With ``round_ends`` every endpoint operand is rounded to bfloat16
+    first (matching bf16 stack storage — rounding a value already round-
+    tripped through the stack is the identity), so the decision is the
+    same deterministic function of the exact endpoint states in both
+    construction directions.
     """
     bk_theta = jnp.where(forward, older_v[_THETA_BK], newer_v[_THETA_BK])
     bk_rho = jnp.where(forward, older_v[_RHO_BK], newer_v[_RHO_BK])
     fw_theta = jnp.where(forward, newer_v[_THETA_FW], older_v[_THETA_FW])
     fw_rho = jnp.where(forward, newer_v[_RHO_FW], older_v[_RHO_FW])
+    if round_ends:
+        dt = bk_theta.dtype
+        bk_theta = bk_theta.astype(jnp.bfloat16).astype(dt)
+        bk_rho = bk_rho.astype(jnp.bfloat16).astype(dt)
+        fw_theta = fw_theta.astype(jnp.bfloat16).astype(dt)
+        fw_rho = fw_rho.astype(jnp.bfloat16).astype(dt)
     delta = inv_mass * (fw_theta - bk_theta)
     return (jnp.sum(fw_rho * delta) < 0) | (jnp.sum(bk_rho * delta) < 0)
 
@@ -152,9 +179,11 @@ class TransitionState(NamedTuple):
     forward: Array         # bool, direction of travel of current subtree
     leaf_idx: Array        # int32
     n_leaves: Array        # int32 (= 2^(depth-1))
-    stack_v: Array         # (max_depth, 5, D) merge stack, slot i = the
-                           # span of the completed size-2^i subtree
-    stack_s: Array         # (max_depth, 4)
+    stack_e: Array         # (max_depth-1, 4, D) merge-stack endpoint rows
+                           # (bf16 when bf16_ends), slot i = the span of
+                           # the completed size-2^i subtree
+    stack_sel: Array       # (max_depth-1, D) merge-stack selected states
+    stack_s: Array         # (max_depth-1, 4)
     ms: Array              # (3, D) macro-step start [theta, rho, grad]
     ms_joint: Array        # joint log density at the macro-step start
     halvings: Array        # int32
@@ -186,6 +215,7 @@ def make_transition(
     max_step_halvings: int,
     adapt_step_size: bool,
     integrator=None,
+    bf16_ends: bool = False,
 ) -> Callable[..., TransitionResult]:
     """Build a single-chain WALNUTS transition (walnuts.hpp:520-563).
 
@@ -200,7 +230,15 @@ def make_transition(
     fused kernel of signature ``(cur (3, D), inv_mass (D,), dt, n_steps)
     -> (cur', lp)`` (see ``walnuts_tpu.ops.integrator``); lanes with
     ``n_steps == 0`` must pass through unchanged.
+
+    ``bf16_ends`` stores the merge stack's endpoint rows in bfloat16 and
+    rounds both operands of every U-turn test to bfloat16 (see module
+    docstring) — a valid-sampler bandwidth optimization for large chain
+    counts. Integration, the selected draws, and the selection weights
+    keep full precision; only U-turn decisions (hence trajectory
+    lengths) shift slightly.
     """
+    n_slots = max(max_depth - 1, 1)
 
     def transition(
         key: Array,
@@ -212,6 +250,7 @@ def make_transition(
         adam: AdamState,
     ) -> TransitionResult:
         dtype = theta.dtype
+        e_dtype = jnp.bfloat16 if bf16_ends else dtype
         min_micro = jnp.asarray(min_micro, dtype=jnp.int32)
         step = jnp.asarray(step, dtype=dtype)
         max_error = jnp.asarray(max_error, dtype=dtype)
@@ -239,8 +278,9 @@ def make_transition(
             forward=forward0,
             leaf_idx=jnp.int32(0),
             n_leaves=jnp.int32(1),
-            stack_v=jnp.zeros((max_depth,) + acc_v.shape, dtype=dtype),
-            stack_s=jnp.zeros((max_depth, 4), dtype=dtype),
+            stack_e=jnp.zeros((n_slots, 4) + theta.shape, dtype=e_dtype),
+            stack_sel=jnp.zeros((n_slots,) + theta.shape, dtype=dtype),
+            stack_s=jnp.zeros((n_slots, 4), dtype=dtype),
             ms=start,
             ms_joint=joint0,
             halvings=jnp.int32(0),
@@ -352,11 +392,15 @@ def make_transition(
             n_merges = count_trailing_zeros(s.leaf_idx + 1)
             cur_v, cur_s = leaf_v, leaf_s
             ok = jnp.asarray(True)
-            for i in range(max_depth):
+            for i in range(n_slots):
                 do = leaf_ok & (i < n_merges) & ok
-                top_v = s.stack_v[i]
+                top_v = jnp.concatenate(
+                    [s.stack_e[i].astype(dtype), s.stack_sel[i][None]], axis=0
+                )
                 top_s = s.stack_s[i]
-                ut = span_uturn(top_v, cur_v, s.forward, inv_mass)
+                ut = span_uturn(
+                    top_v, cur_v, s.forward, inv_mass, round_ends=bf16_ends
+                )
                 m_v, m_s = span_combine(
                     unifs[i], top_v, top_s, cur_v, cur_s, s.forward, barker=True
                 )
@@ -371,15 +415,22 @@ def make_transition(
             push = leaf_ok & ~subtree_done
             write_mask = push & (
                 n_merges
-                == jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1, 1), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (n_slots, 1, 1), 0)
             )
-            stack_v = jnp.where(write_mask, cur_v[None], s.stack_v)
+            stack_e = jnp.where(
+                write_mask, cur_v[:4].astype(e_dtype)[None], s.stack_e
+            )
+            stack_sel = jnp.where(
+                write_mask[:, 0], cur_v[_THETA_SEL][None], s.stack_sel
+            )
             stack_s = jnp.where(write_mask[:, 0], cur_s[None], s.stack_s)
 
             # ---- subtree completed: top-level Metropolis + combined U-turn
             # (transition_w, walnuts.hpp:536-558): the new subtree is always
             # combined, even when the combined span U-turns.
-            ut_top = span_uturn(s.acc_v, cur_v, s.forward, inv_mass)
+            ut_top = span_uturn(
+                s.acc_v, cur_v, s.forward, inv_mass, round_ends=bf16_ends
+            )
             comb_v, comb_s = span_combine(
                 unifs[max_depth], s.acc_v, s.acc_s, cur_v, cur_s,
                 s.forward, barker=False,
@@ -461,7 +512,7 @@ def make_transition(
                 acc_v=acc_v, acc_s=acc_s,
                 acc_grad_bk=acc_grad_bk, acc_grad_fw=acc_grad_fw,
                 forward=new_dir, leaf_idx=leaf_idx, n_leaves=n_leaves,
-                stack_v=stack_v, stack_s=stack_s,
+                stack_e=stack_e, stack_sel=stack_sel, stack_s=stack_s,
                 ms=ms, ms_joint=ms_joint,
                 halvings=halvings, dt=dt, steps_done=steps_done,
                 steps_total=steps_total, phase=phase,

@@ -118,6 +118,7 @@ def run_warmup(
     mesh: Optional[Mesh] = None,
     progress=None,
     integrator=None,
+    bf16_ends: bool = False,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -127,7 +128,9 @@ def run_warmup(
     and run info.
     """
     state = shard_chains(state, mesh)
-    warmup_step = make_warmup_step(logp_grad, sampling_cfg, integrator=integrator)
+    warmup_step = make_warmup_step(
+        logp_grad, sampling_cfg, integrator=integrator, bf16_ends=bf16_ends
+    )
     vstep = jax.vmap(warmup_step)
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
@@ -199,6 +202,7 @@ def run_sampling(
     progress=None,
     on_r_hat=None,
     integrator=None,
+    bf16_ends: bool = False,
     chain_groups: int = 1,
     device_draws: bool = False,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
@@ -241,7 +245,9 @@ def run_sampling(
 
     state = shard_chains(state, mesh)
     params = shard_chains(params, mesh)
-    sample_step = make_sample_step(logp_grad, sampling_cfg, integrator=integrator)
+    sample_step = make_sample_step(
+        logp_grad, sampling_cfg, integrator=integrator, bf16_ends=bf16_ends
+    )
     vstep = jax.vmap(sample_step)
 
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
