@@ -118,6 +118,74 @@ class TestBf16Ends:
         assert not np.array_equal(a, bfq)
 
 
+class TestSelectionDistribution:
+    """Exact law of the within-orbit selection (the load-bearing
+    Barker-inside / Metropolis-outside asymmetry, walnuts.hpp:368-387 +
+    547): on a FLAT potential every leaf has equal weight, no U-turn or
+    halving ever fires, and the orbit runs to max_depth exhaustion -- the
+    top-level Metropolis then always accepts each new subtree (equal
+    weights), so the selected state must be UNIFORM over the final
+    doubling's leaves. Averaged over the fair direction coins this gives
+    an exactly enumerable pmf over the integer leapfrog offset k; a
+    selection-rule bias (e.g. favouring the newest leaf) would shift it."""
+
+    def test_flat_potential_offset_pmf(self):
+        max_depth = 3
+        n = 4096
+        lg = make_logp_grad(lambda t: jnp.zeros(()))
+        tr = make_transition(lg, max_depth=max_depth, max_step_halvings=1,
+                             adapt_step_size=False)
+        adam = adam_init(0.5, dtype=jnp.float64)
+        step = jnp.float64(0.25)
+        inv_mass = jnp.ones(1, dtype=jnp.float64)
+
+        def one(key):
+            theta0 = jnp.zeros(1, dtype=jnp.float64)
+            res = tr(key, theta0, step, inv_mass, jnp.int32(1),
+                     jnp.float64(0.5), adam)
+            return res.theta[0], res.depth
+
+        keys = jax.random.split(jax.random.key(99), n)
+        sel, depth = jax.jit(jax.vmap(one))(keys)
+        assert np.all(np.asarray(depth) == max_depth + 1)  # always exhausts
+        # theta moves by exactly dt*rho per micro step (zero gradient), so
+        # theta_sel = k * step * rho; recompute rho from the key exactly as
+        # the transition draws it to recover the integer offset k.
+        def rho_of(key):
+            _, k_mom, _ = jax.random.split(key, 3)
+            z = jax.random.normal(k_mom, (1,), dtype=jnp.float64)
+            return z[0]
+        rho = np.asarray(jax.jit(jax.vmap(rho_of))(keys))
+        k = np.asarray(sel) / (np.float64(step) * rho)
+        k_int = np.rint(k).astype(int)
+        np.testing.assert_allclose(k, k_int, atol=1e-8)
+
+        # exact pmf by enumeration over the 8 equiprobable direction
+        # triples: doubling d adds 2^(d-1) contiguous positions on side
+        # dir_d of the current orbit [lo, hi]; selection is uniform over
+        # the last doubling's additions.
+        from collections import defaultdict
+        pmf = defaultdict(float)
+        for bits in range(8):
+            lo = hi = 0
+            added = None
+            for d in range(1, max_depth + 1):
+                m = 2 ** (d - 1)
+                if (bits >> (d - 1)) & 1:   # forward
+                    added = list(range(hi + 1, hi + 1 + m)); hi += m
+                else:
+                    added = list(range(lo - m, lo)); lo -= m
+            for pos in added:
+                pmf[pos] += (1.0 / 8) * (1.0 / len(added))
+        ks = sorted(pmf)
+        expected = np.array([pmf[x] for x in ks]) * n
+        observed = np.array([(k_int == x).sum() for x in ks], dtype=float)
+        assert observed.sum() == n, (sorted(set(k_int)), ks)
+        chi2 = float(np.sum((observed - expected) ** 2 / expected))
+        # df = len(ks) - 1; crit at p ~ 1e-4 for df <= 15 is < 45
+        assert chi2 < 45.0, (chi2, dict(zip(ks, observed)), dict(zip(ks, expected)))
+
+
 class TestIllConditionedMoments:
     def test_unit_mass(self):
         """sigma_d = d scales with unit mass: WALNUTS must still target the

@@ -108,12 +108,12 @@ def walnuts(
     - ``integrator``: a fused attempt integrator from
       ``walnuts_tpu.ops.integrator.make_pallas_integrator`` replacing the
       inner leapfrog loop.
-    - ``bf16_ends``: store the transition's merge-stack endpoint rows in
+    - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
-      ``walnuts_tpu.core.transition``). Cuts the dominant per-iteration
-      memory traffic ~30% for cheap-gradient models at large chain counts;
-      draws and integration keep full precision.
+      ``walnuts_tpu.core.transition``). Draws and integration keep full
+      precision. Measured SLOWER on v5e at D ~ 100 (the converts cost
+      more than the saved bandwidth) — off by default; try at large D.
 
     Returns a list of per-chain draw arrays (``shape (draws, dim)``), each
     carrying ``.warmup`` with the adapted step size, optionally the adapted

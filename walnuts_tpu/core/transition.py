@@ -15,9 +15,18 @@ real work in the sampler — plus O(D) masked bookkeeping:
 
   * a per-lane PHASE (forward integration vs reversibility re-integration)
     replaces the nested loops;
-  * the recursive doubling becomes an iterative merge stack of spans: after
-    leaf ``j``, exactly ``ctz(j+1)`` merges collapse completed subtrees,
-    each with a sub-U-turn check and Barker selection (walnuts.hpp:490-494);
+  * the recursive doubling becomes an iterative merge stack: after leaf
+    ``j``, exactly ``ctz(j+1)`` merges collapse completed subtrees, each
+    with a sub-U-turn check (walnuts.hpp:490-494);
+  * the reference's per-merge Barker selection (walnuts.hpp:368-387) is
+    replaced by ONE streaming weight-proportional reservoir over the
+    current subtree's leaves. This is exact, not an approximation: the
+    Barker rule takes the newer span with probability
+    ``w_new / (w_old + w_new)``, so by induction the selected state of any
+    merge tree is a draw with ``P(leaf j) = w_j / sum_i w_i`` — fold-order
+    invariant — and a per-leaf reservoir (accept leaf ``j`` with
+    probability ``w_j / sum_{i<=j} w_i``) realises the same distribution
+    with one uniform per leaf and NO per-level selected-state storage;
   * the top-level progressive update stays Metropolis (walnuts.hpp:547),
     preserving the reference's Barker-inside / Metropolis-outside asymmetry
     on which distributional correctness depends;
@@ -38,23 +47,26 @@ integration needs, and the selected state's gradient is re-evaluated once
 per warmup transition (see the row-index note below).
 
 Packing turns every masked span update into a couple of wide selects
-instead of a dozen narrow ones. The merge stack (three arrays,
-``(max_depth-1, 4, D)`` endpoints + ``(max_depth-1, D)`` selections +
-``(max_depth-1, 4)`` scalars) is indexed by SUBTREE LEVEL: the span of a
-completed size-2^i subtree always lives at slot i, the i-th merge of a
-cascade always reads slot i, and the push lands at slot
-``ctz(leaf_idx+1)`` — every stack access is a static index lowered to
-masked selects. No per-lane gather/scatter survives (TPU serializes
-those), and the XLA graph is ~6x smaller than the naive pytree form.
-Only ``max_depth - 1`` slots exist because the final subtree of the
-deepest doubling is consumed by the top-level combine, never pushed.
+instead of a dozen narrow ones. With reservoir selection the merge stack
+shrinks to ONE array, ``(max_depth-1, 2, D)``: within a doubling every
+span in the cascade shares this leaf as its newer-side endpoint, the
+accumulated orbit keeps its own older-side endpoint, and a completed
+subtree's selection/weight live in the reservoir — so the only thing a
+stack slot must remember is the (theta, rho) OLDER-side endpoint of the
+completed size-2^i sibling subtree, exactly what its future sub-U-turn
+check reads. The stack is indexed by SUBTREE LEVEL: the i-th merge of a
+cascade always reads slot i and the push lands at slot ``ctz(leaf_idx+1)``
+— every stack access is a static index lowered to masked selects. No
+per-lane gather/scatter survives (TPU serializes those). Only
+``max_depth - 1`` slots exist because the final subtree of the deepest
+doubling is consumed by the top-level combine, never pushed.
 
-Optionally (``bf16_ends=True``) the four stacked ENDPOINT rows are stored
-in bfloat16, cutting the dominant while-loop carry traffic by ~40%.
-Stored endpoints feed only U-turn inner products and endpoint-row copies;
+Optionally (``bf16_ends=True``) the stacked endpoints are stored in
+bfloat16, halving the stack's share of the while-loop carry traffic.
+Stored endpoints feed only U-turn inner products and endpoint copies;
 integration restarts and the returned draw always read full-precision
-state (the cursor, the accumulated orbit's endpoints, and the separate
-f32 selection rows). To keep the sampler exactly valid, the U-turn test
+state (the cursor, the accumulated orbit's endpoints, and the
+reservoir). To keep the sampler exactly valid, the U-turn test
 then rounds BOTH operands to bfloat16 — the decision becomes a
 deterministic function of the exact endpoint states that is identical no
 matter which side of a span pair came off the stack, so the stopping rule
@@ -144,6 +156,11 @@ def span_combine(unif, older_v, older_s, newer_v, newer_s, forward, barker: bool
     probability ``exp(logw_new - logsumexp(logw_old, logw_new))``;
     Metropolis (top level): ``exp(logw_new - logw_old)``. A ``-inf``-weight
     newer span is never selected.
+
+    Retained as the executable specification of the reference's span
+    algebra (and for tests); the transition hot path below uses the
+    endpoint-only U-turn test plus streaming-reservoir selection, which
+    realise the same distribution (see the module docstring).
     """
     logw_total = log_sum_exp(older_s[_LOGW], newer_s[_LOGW])
     log_denom = logw_total if barker else older_s[_LOGW]
@@ -179,11 +196,13 @@ class TransitionState(NamedTuple):
     forward: Array         # bool, direction of travel of current subtree
     leaf_idx: Array        # int32
     n_leaves: Array        # int32 (= 2^(depth-1))
-    stack_e: Array         # (max_depth-1, 4, D) merge-stack endpoint rows
-                           # (bf16 when bf16_ends), slot i = the span of
-                           # the completed size-2^i subtree
-    stack_sel: Array       # (max_depth-1, D) merge-stack selected states
-    stack_s: Array         # (max_depth-1, 4)
+    stack_e: Array         # (max_depth-1, 2, D) older-side (theta, rho)
+                           # endpoint of the completed size-2^i sibling
+                           # subtree (bf16 when bf16_ends)
+    run_sel: Array         # (D,) reservoir: selected state of the
+                           # current subtree's leaves so far
+    run_sel_logp: Array    # its position log density
+    run_logw: Array        # logsumexp of the subtree's leaf weights
     ms: Array              # (3, D) macro-step start [theta, rho, grad]
     ms_joint: Array        # joint log density at the macro-step start
     halvings: Array        # int32
@@ -231,12 +250,12 @@ def make_transition(
     -> (cur', lp)`` (see ``walnuts_tpu.ops.integrator``); lanes with
     ``n_steps == 0`` must pass through unchanged.
 
-    ``bf16_ends`` stores the merge stack's endpoint rows in bfloat16 and
+    ``bf16_ends`` stores the merge stack's endpoints in bfloat16 and
     rounds both operands of every U-turn test to bfloat16 (see module
-    docstring) — a valid-sampler bandwidth optimization for large chain
-    counts. Integration, the selected draws, and the selection weights
-    keep full precision; only U-turn decisions (hence trajectory
-    lengths) shift slightly.
+    docstring) — a valid-sampler bandwidth option. Integration, the
+    selected draws, and the selection weights keep full precision; only
+    U-turn decisions (hence trajectory lengths) shift slightly. Measured
+    slower on v5e at D ~ 100 (convert overhead); off by default.
     """
     n_slots = max(max_depth - 1, 1)
 
@@ -278,9 +297,10 @@ def make_transition(
             forward=forward0,
             leaf_idx=jnp.int32(0),
             n_leaves=jnp.int32(1),
-            stack_e=jnp.zeros((n_slots, 4) + theta.shape, dtype=e_dtype),
-            stack_sel=jnp.zeros((n_slots,) + theta.shape, dtype=dtype),
-            stack_s=jnp.zeros((n_slots, 4), dtype=dtype),
+            stack_e=jnp.zeros((n_slots, 2) + theta.shape, dtype=e_dtype),
+            run_sel=theta,
+            run_sel_logp=logp0,
+            run_logw=jnp.asarray(-jnp.inf, dtype=dtype),
             ms=start,
             ms_joint=joint0,
             halvings=jnp.int32(0),
@@ -301,8 +321,8 @@ def make_transition(
 
         def body(s: TransitionState) -> TransitionState:
             key, k_u = jax.random.split(s.key)
-            # cascade Barker uniforms, one Metropolis, one direction draw.
-            unifs = jax.random.uniform(k_u, (max_depth + 2,), dtype=dtype)
+            # one reservoir, one Metropolis, one direction draw.
+            unifs = jax.random.uniform(k_u, (3,), dtype=dtype)
 
             # ---- INNER LOOP: integrate the current attempt to completion.
             # The inner carry is tiny (cursor + step count), so the per-
@@ -378,34 +398,41 @@ def make_transition(
             fwd_logp_pos = jnp.where(set_fwd, lp_n, s.fwd_logp_pos)
             fwd_joint = jnp.where(set_fwd, joint_n, s.fwd_joint)
 
-            # ---- leaf accepted: merge cascade (iterative build_span) ----
+            # ---- leaf accepted: U-turn cascade + reservoir selection ----
             # Stack slots are indexed BY SUBTREE LEVEL, not stack depth: the
-            # span covering a completed size-2^i subtree always lives at
-            # slot i (the stack contents equal the set bits of leaf_idx).
-            # Leaf j therefore merges with slots 0..ctz(j+1)-1 in order and
-            # the result is pushed at slot ctz(j+1) — every index is STATIC,
-            # so the cascade lowers to masked selects instead of per-lane
-            # gathers/scatters (which serialize on TPU).
-            leaf_v, leaf_s = span_from_point(
-                fwd[0], fwd[1], fwd_logp_pos, fwd_joint
-            )
+            # older-side endpoint of a completed size-2^i subtree always
+            # lives at slot i (the stack contents equal the set bits of
+            # leaf_idx). Leaf j checks slots 0..ctz(j+1)-1 in order and the
+            # push lands at slot ctz(j+1) — every index is STATIC, so the
+            # cascade lowers to masked selects instead of per-lane
+            # gathers/scatters (which serialize on TPU). Every span in the
+            # cascade has THIS leaf as its newer-side endpoint, so each
+            # sub-U-turn check (walnuts.hpp:192-201 via build_span,
+            # walnuts.hpp:490-494) reads one slot + the cursor.
+            leaf_th, leaf_rho = fwd[0], fwd[1]
+            sgn = jnp.where(s.forward, jnp.asarray(1.0, dtype),
+                            jnp.asarray(-1.0, dtype))
+
+            def uturn_end(old_th, old_rho):
+                # == span_uturn with the newer-side endpoint == this leaf:
+                # delta points from the older to the newer side.
+                l_th, l_rho = leaf_th, leaf_rho
+                if bf16_ends:
+                    old_th = old_th.astype(jnp.bfloat16).astype(dtype)
+                    old_rho = old_rho.astype(jnp.bfloat16).astype(dtype)
+                    l_th = l_th.astype(jnp.bfloat16).astype(dtype)
+                    l_rho = l_rho.astype(jnp.bfloat16).astype(dtype)
+                delta = sgn * inv_mass * (l_th - old_th)
+                return (jnp.sum(l_rho * delta) < 0) | (jnp.sum(old_rho * delta) < 0)
+
             n_merges = count_trailing_zeros(s.leaf_idx + 1)
-            cur_v, cur_s = leaf_v, leaf_s
+            cur_end = fwd[:2]  # older-side endpoint of the span being built
             ok = jnp.asarray(True)
             for i in range(n_slots):
                 do = leaf_ok & (i < n_merges) & ok
-                top_v = jnp.concatenate(
-                    [s.stack_e[i].astype(dtype), s.stack_sel[i][None]], axis=0
-                )
-                top_s = s.stack_s[i]
-                ut = span_uturn(
-                    top_v, cur_v, s.forward, inv_mass, round_ends=bf16_ends
-                )
-                m_v, m_s = span_combine(
-                    unifs[i], top_v, top_s, cur_v, cur_s, s.forward, barker=True
-                )
-                cur_v = jnp.where(do, m_v, cur_v)
-                cur_s = jnp.where(do, m_s, cur_s)
+                slot = s.stack_e[i].astype(dtype)
+                ut = uturn_end(slot[0], slot[1])
+                cur_end = jnp.where(do, slot, cur_end)
                 ok = ok & ~(do & ut)
             sub_uturn = leaf_ok & ~ok
             leaf_ok = leaf_ok & ok
@@ -418,25 +445,48 @@ def make_transition(
                 == jax.lax.broadcasted_iota(jnp.int32, (n_slots, 1, 1), 0)
             )
             stack_e = jnp.where(
-                write_mask, cur_v[:4].astype(e_dtype)[None], s.stack_e
+                write_mask, cur_end.astype(e_dtype)[None], s.stack_e
             )
-            stack_sel = jnp.where(
-                write_mask[:, 0], cur_v[_THETA_SEL][None], s.stack_sel
-            )
-            stack_s = jnp.where(write_mask[:, 0], cur_s[None], s.stack_s)
+
+            # ---- reservoir: weight-proportional selection over the current
+            # subtree's leaves (== any tree of Barker merges; see module
+            # docstring). A -inf-weight leaf is never selected (NaN-safe:
+            # comparisons with NaN are False).
+            run_logw_new = log_sum_exp(s.run_logw, fwd_joint)
+            take_leaf = jnp.log(unifs[0]) < fwd_joint - run_logw_new
+            upd = leaf_ok & take_leaf
+            run_sel = jnp.where(upd, fwd[0], s.run_sel)
+            run_sel_logp = jnp.where(upd, fwd_logp_pos, s.run_sel_logp)
+            run_logw = jnp.where(leaf_ok, run_logw_new, s.run_logw)
 
             # ---- subtree completed: top-level Metropolis + combined U-turn
             # (transition_w, walnuts.hpp:536-558): the new subtree is always
-            # combined, even when the combined span U-turns.
-            ut_top = span_uturn(
-                s.acc_v, cur_v, s.forward, inv_mass, round_ends=bf16_ends
-            )
-            comb_v, comb_s = span_combine(
-                unifs[max_depth], s.acc_v, s.acc_s, cur_v, cur_s,
-                s.forward, barker=False,
-            )
-            acc_v = jnp.where(subtree_done, comb_v, s.acc_v)
-            acc_s = jnp.where(subtree_done, comb_s, s.acc_s)
+            # combined, even when the combined span U-turns. The combined
+            # orbit's endpoint in the travel direction is this leaf (the
+            # cursor, full precision), its opposite endpoint is the orbit's
+            # own — span_combine specialised to newer == current subtree.
+            acc_old = jnp.where(s.forward, s.acc_v[_THETA_BK:_RHO_BK + 1],
+                                s.acc_v[_THETA_FW:_RHO_FW + 1])
+            ut_top = uturn_end(acc_old[0], acc_old[1])
+            take_new = jnp.log(unifs[1]) < run_logw_new - s.acc_s[_LOGW]
+            upd_fw = subtree_done & s.forward
+            upd_bk = subtree_done & ~s.forward
+            take = subtree_done & take_new
+            acc_v = jnp.stack([
+                jnp.where(upd_bk, fwd[0], s.acc_v[_THETA_BK]),
+                jnp.where(upd_bk, fwd[1], s.acc_v[_RHO_BK]),
+                jnp.where(upd_fw, fwd[0], s.acc_v[_THETA_FW]),
+                jnp.where(upd_fw, fwd[1], s.acc_v[_RHO_FW]),
+                jnp.where(take, run_sel, s.acc_v[_THETA_SEL]),
+            ])
+            acc_s = jnp.stack([
+                jnp.where(upd_bk, fwd_joint, s.acc_s[_LOGP_BK]),
+                jnp.where(upd_fw, fwd_joint, s.acc_s[_LOGP_FW]),
+                jnp.where(take, run_sel_logp, s.acc_s[_LOGP_SEL]),
+                jnp.where(subtree_done,
+                          log_sum_exp(s.acc_s[_LOGW], run_logw_new),
+                          s.acc_s[_LOGW]),
+            ])
             # the orbit endpoint in the travel direction becomes the last
             # leaf's endpoint, whose gradient the cursor still holds
             acc_grad_fw = jnp.where(subtree_done & s.forward, fwd[2], s.acc_grad_fw)
@@ -456,7 +506,9 @@ def make_transition(
             )
 
             # ---- set up the next loop iteration ----
-            new_dir = jnp.where(deeper, unifs[max_depth + 1] < 0.5, s.forward)
+            new_dir = jnp.where(deeper, unifs[2] < 0.5, s.forward)
+            # a new doubling starts an empty subtree: reset the reservoir
+            run_logw = jnp.where(deeper, jnp.asarray(-jnp.inf, dtype), run_logw)
             depth = jnp.where(deeper, new_depth, s.depth)
             n_leaves = jnp.where(deeper, jnp.int32(1) << (new_depth - 1), s.n_leaves)
             leaf_idx = jnp.where(deeper, jnp.int32(0), new_leaf_idx)
@@ -512,7 +564,8 @@ def make_transition(
                 acc_v=acc_v, acc_s=acc_s,
                 acc_grad_bk=acc_grad_bk, acc_grad_fw=acc_grad_fw,
                 forward=new_dir, leaf_idx=leaf_idx, n_leaves=n_leaves,
-                stack_e=stack_e, stack_sel=stack_sel, stack_s=stack_s,
+                stack_e=stack_e, run_sel=run_sel,
+                run_sel_logp=run_sel_logp, run_logw=run_logw,
                 ms=ms, ms_joint=ms_joint,
                 halvings=halvings, dt=dt, steps_done=steps_done,
                 steps_total=steps_total, phase=phase,
