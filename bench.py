@@ -95,6 +95,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
         chain_groups=groups, device_draws=True, bf16_ends=bf16,
+        flatten=bool(int(os.environ.get("BENCH_FLATTEN", 0))) and groups == 1,
     )
     jax.block_until_ready((sstate, draws))
     sampling_time = time.time() - t0

@@ -163,6 +163,73 @@ class TestChainGroups:
             run_sampling(lg, ss, params, scfg, chain_groups=4)
 
 
+class TestFlattenedSampling:
+    """Run-ahead flattened scheduling must reproduce the classic path's
+    draws exactly — same per-lane transitions, different scheduling — and
+    reject the chain_groups combination."""
+
+    def _setup(self, scfg, n_chains=8, dim=3, step_spread=0.3):
+        from walnuts_tpu.core.sampler import (
+            freeze_params, init_sample_state, init_warmup_state,
+        )
+
+        logp, dim_ = std_normal(dim)
+        lg = make_logp_grad(logp)
+        wcfg = WarmupConfig(min_iter=10, max_iter=10, block_size=10)
+        keys = jax.random.split(jax.random.key(21), n_chains)
+        theta0 = jax.random.normal(jax.random.key(22), (n_chains, dim_))
+        mass = jnp.ones((n_chains, dim_))
+        step = jnp.exp(step_spread * jax.random.normal(jax.random.key(23),
+                                                       (n_chains,)))
+        ws = jax.vmap(lambda k, t, m, st: init_warmup_state(
+            k, t, m, st, wcfg, scfg))(keys, theta0, mass, step)
+        ws, _, _, _ = run_warmup(lg, ws, wcfg, scfg)
+        params = jax.vmap(freeze_params)(ws)
+        ss = jax.vmap(init_sample_state)(ws)
+        return lg, params, ss
+
+    def test_bitwise_matches_classic(self):
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg = SamplingConfig(min_iter=40, max_iter=40, block_size=15,
+                              max_trajectory_doublings=5, max_step_halvings=4)
+        lg, params, ss = self._setup(scfg)
+        ss1 = jax.tree.map(jnp.array, ss)
+        ss2 = jax.tree.map(jnp.array, ss)
+        s1, d1, l1, i1 = run_sampling(lg, ss1, params, scfg)
+        s2, d2, l2, i2 = run_sampling(lg, ss2, params, scfg, flatten=True)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(l1, l2)
+        # the Welford stats that drive R-hat agree (batch-merged vs
+        # per-draw accumulation)
+        np.testing.assert_allclose(np.asarray(s1.lp_mean),
+                                   np.asarray(s2.lp_mean), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(s1.lp_m2),
+                                   np.asarray(s2.lp_m2), rtol=1e-10)
+        # flattening SAVES the classic per-transition entry evaluation
+        assert int(np.sum(i2.n_grads)) < int(np.sum(i1.n_grads))
+
+    def test_early_stop_contract(self):
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg = SamplingConfig(min_iter=10, max_iter=60, block_size=5,
+                              max_trajectory_doublings=4, max_step_halvings=4,
+                              rhat_converge_tol=1.2)
+        lg, params, ss = self._setup(scfg)
+        _, draws, _, info = run_sampling(lg, jax.tree.map(jnp.array, ss),
+                                         params, scfg, flatten=True)
+        assert 10 <= info.sampling_iters <= 60
+        assert np.asarray(draws).shape[0] == info.sampling_iters
+
+    def test_flatten_with_chain_groups_rejected(self):
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg = SamplingConfig(min_iter=2, max_iter=2)
+        lg, params, ss = self._setup(scfg, n_chains=4)
+        with pytest.raises(ValueError):
+            run_sampling(lg, ss, params, scfg, flatten=True, chain_groups=2)
+
+
 class TestDeviceDraws:
     def test_device_draws_match_host_path(self):
         from walnuts_tpu.core.sampler import (

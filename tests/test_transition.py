@@ -270,6 +270,7 @@ class TestStructure:
                jnp.float64(0.5), jnp.ones(dim, dtype=jnp.float64),
                jnp.int32(1), jnp.float64(0.5), adam)
         # one Adam observation per macro step (= per leaf); grads = initial
-        # eval + leaves + final selected-state eval
+        # eval + leaves (the selected state's gradient is cursor-cached,
+        # never re-evaluated)
         assert float(r.adam.t) >= 1.0
-        assert float(r.adam.t) == int(r.n_grads) - 2  # min_micro=1, no halvings
+        assert float(r.adam.t) == int(r.n_grads) - 1  # min_micro=1, no halvings

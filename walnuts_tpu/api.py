@@ -82,6 +82,7 @@ def walnuts(
     chain_groups: int = 1,
     integrator=None,
     bf16_ends: bool = False,
+    flatten: bool = False,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -108,6 +109,14 @@ def walnuts(
     - ``integrator``: a fused attempt integrator from
       ``walnuts_tpu.ops.integrator.make_pallas_integrator`` replacing the
       inner leapfrog loop.
+    - ``flatten``: run-ahead flattened sampling — a chain that finishes
+      a trajectory immediately starts the next one instead of waiting for
+      the slowest chain in the batch. Per-lane draws are bitwise identical
+      to the synchronous path; only the scheduling changes. EXPERIMENTAL:
+      with the current one-transition-deep bank it does not yet reduce the
+      per-draw synchronisation (measured slower on v5e; see
+      docs/ROADMAP.md for the ring-buffer extension), so it is off by
+      default.
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
@@ -271,6 +280,7 @@ def walnuts(
                 mesh=mesh, info=info, progress=progress, on_r_hat=on_r_hat,
                 chain_groups=chain_groups, integrator=integrator,
                 bf16_ends=bf16_ends,
+                flatten=flatten and chain_groups == 1,
             )
 
     step_sizes = np.asarray(params.step_size)

@@ -205,6 +205,7 @@ def run_sampling(
     bf16_ends: bool = False,
     chain_groups: int = 1,
     device_draws: bool = False,
+    flatten: bool = False,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -224,7 +225,16 @@ def run_sampling(
     grouping similar-cost chains together bounds the stall to one group.
     Outputs are returned in the original chain order. Single-device only
     (incompatible with ``mesh``).
+
+    ``flatten=True`` uses the run-ahead flattened scheduler
+    (``walnuts_tpu.core.transition.make_flat_sample_block``): lanes that
+    finish a trajectory immediately start the next one instead of waiting
+    for the slowest chain in the batch, eliminating the per-draw SPMD
+    padding. The draws are identical to the classic path per lane
+    (bitwise on CPU); only the scheduling changes.
     """
+    if flatten and chain_groups > 1:
+        raise ValueError("flatten is incompatible with chain_groups")
     permutation = None
     if chain_groups > 1:
         if mesh is not None:
@@ -268,6 +278,65 @@ def run_sampling(
             return s, (res.theta, res.logp)
         return jax.lax.scan(body, s, None, length=n)
 
+    bank = None
+    if flatten:
+        from walnuts_tpu.core.adapt import adam_init
+        from walnuts_tpu.core.transition import make_flat_sample_block
+
+        start_bank, sample_block = make_flat_sample_block(
+            logp_grad,
+            sampling_cfg.max_trajectory_doublings,
+            sampling_cfg.max_step_halvings,
+            integrator=integrator,
+            bf16_ends=bf16_ends,
+        )
+        max_error = sampling_cfg.max_hamiltonian_error
+
+        @jax.jit
+        def make_bank(s: SampleState, p: FrozenParams):
+            def one(key, theta, st, im, mm):
+                return start_bank(
+                    key, theta, st, im, mm, adam_init(st, dtype=theta.dtype)
+                )
+
+            return jax.vmap(one)(
+                s.key, s.theta, p.step_size, p.inv_mass, p.min_micro
+            )
+
+        bank = shard_chains(make_bank(state, params), mesh)
+        # the bank's init gradient evaluation is real work
+        state = state._replace(n_grads=state.n_grads + 1)
+
+        @partial(jax.jit, static_argnums=3, donate_argnums=(0, 1))
+        def run_block_flat(s: SampleState, b, p: FrozenParams, n: int):
+            def one(bl, st, im, mm):
+                return sample_block(
+                    bl, st, im, mm,
+                    jnp.asarray(max_error, bl.ms_joint.dtype), n,
+                )
+
+            res = jax.vmap(one)(b, p.step_size, p.inv_mass, p.min_micro)
+            draws = jnp.moveaxis(res.draws, 0, 1)  # (n, C, D)
+            logps = jnp.moveaxis(res.logps, 0, 1)  # (n, C)
+            # Chan et al. merge of the block's per-lane log-density stats
+            # into the running Welford (same statistics the classic
+            # per-draw updates accumulate).
+            lps = res.logps  # (C, n)
+            cnt_b = jnp.asarray(n, lps.dtype)
+            mean_b = jnp.mean(lps, axis=1)
+            m2_b = jnp.sum((lps - mean_b[:, None]) ** 2, axis=1)
+            tot = s.lp_count + cnt_b
+            delta = mean_b - s.lp_mean
+            s = s._replace(
+                key=res.bank.key,
+                theta=draws[-1],
+                n_grads=s.n_grads + (res.bank.n_grads - b.n_grads),
+                lp_count=tot,
+                lp_mean=s.lp_mean + delta * cnt_b / tot,
+                lp_m2=s.lp_m2 + m2_b + delta**2 * s.lp_count * cnt_b / tot,
+            )
+            return s, res.bank, draws, logps
+
     rhat_fn = jax.jit(_sampling_rhat)
 
     info = info or RunInfo()
@@ -283,7 +352,10 @@ def run_sampling(
             n = min(sampling_cfg.block_size, sampling_cfg.max_iter - it)
             if it < sampling_cfg.min_iter:
                 n = min(n, sampling_cfg.min_iter - it)
-            state, (theta, logp) = run_block(state, params, n)
+            if flatten:
+                state, bank, theta, logp = run_block_flat(state, bank, params, n)
+            else:
+                state, (theta, logp) = run_block(state, params, n)
             it += n
             if device_draws:
                 draws_host.append(theta)
