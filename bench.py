@@ -136,8 +136,10 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
                   seed + 1, jnp.float32)
 
     draws = np.moveaxis(r.pop("draws"), 0, 1)  # (C, iters, D)
-    subset = draws if draws.shape[-1] <= 32 else draws[:, :, :17]
-    ess = effective_sample_size([subset[c] for c in range(subset.shape[0])])
+    # ESS over ALL dims; the native baseline now records all dims too
+    # (csrc/baseline_bench.cpp keep_dims), so the median-ESS estimator is
+    # the same protocol on both sides of vs_baseline
+    ess = effective_sample_size([draws[c] for c in range(draws.shape[0])])
     total_time = r["warmup_time"] + r["sampling_time"]
     return {
         "model": model_name,
@@ -191,6 +193,12 @@ def main():
             key = f"{r['model']}_ess_per_sec_1core"
             if key in base:
                 per_model.append(r["ess_per_sec"] / (64.0 * base[key]))
+            # ESS/grad parity vs the native reference implementation, from
+            # the SAME run that produces the throughput number (north star:
+            # within 5%; reference counting per stan_cli.cpp:121-139)
+            pkey = f"{r['model']}_ess_per_grad"
+            if pkey in base:
+                r["ess_per_grad_vs_baseline"] = float(r["ess_per_grad"] / base[pkey])
         if per_model:
             vs_baseline = float(np.exp(np.mean(np.log(per_model))))
 

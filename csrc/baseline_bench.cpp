@@ -368,7 +368,12 @@ int main(int argc, char** argv) {
   else if (argc > 7) tgt = std::make_unique<LogReg>(argv[7]);
   else tgt = std::make_unique<LogReg>(1000, 25, 20260816ULL);
   const int d = tgt->dim();
-  const int keep_dims = std::min(d, 17);
+  // all dims by default so the ESS estimator matches the TPU bench's
+  // all-dims protocol exactly; BASELINE_KEEP_DIMS caps it for memory
+  int keep_dims = d;
+  if (const char* kd = std::getenv("BASELINE_KEEP_DIMS")) {
+    keep_dims = std::min(d, std::atoi(kd));
+  }
 
   std::vector<double> draws;  // chain-major: [chain][iter][keep_dims]
   draws.reserve(static_cast<size_t>(n_chains) * n_samp * keep_dims);

@@ -76,14 +76,25 @@ def logistic_regression_vg(num_data: int = 1000, dim: int = 25,
         xt_c = xt if xt_c is None else xt_c
         x_c = x if x_c is None else x_c
         y_c = y if y_c is None else y_c
-        logits = jnp.dot(theta, xt_c, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the default bf16 MXU pass puts O(0.1-1) noise
+        # on the 1000-term likelihood sum and breaks |dH| <= max_error on
+        # real TPU (CLAUDE.md invariants; same rule as targets.py)
+        logits = jnp.dot(
+            theta, xt_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         z = y_c * logits                                    # (B, N)
         lp = (
             jnp.sum(-jnp.logaddexp(0.0, -z), axis=-1)
             - 0.5 * jnp.sum(theta * theta, axis=-1)
         )
         s = y_c * jax.nn.sigmoid(-z)
-        grad = jnp.dot(s, x_c, preferred_element_type=jnp.float32) - theta
+        grad = jnp.dot(
+            s, x_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) - theta
         return lp, grad
 
     return logp_grad, dim, (xt, x, y)

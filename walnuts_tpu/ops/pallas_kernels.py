@@ -32,7 +32,13 @@ def _logreg_kernel(theta_ref, xt_ref, x_ref, y_ref, logp_ref, grad_ref):
     theta = theta_ref[...]          # (Bt, P)
     xt = xt_ref[...]                # (P, N)
     y = y_ref[...]                  # (1, N)
-    logits = jnp.dot(theta, xt, preferred_element_type=jnp.float32)  # (Bt, N)
+    # HIGHEST precision: default bf16 MXU passes put O(0.1-1) noise on the
+    # 1000-term likelihood and break |dH| <= max_error (CLAUDE.md invariants)
+    logits = jnp.dot(
+        theta, xt,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Bt, N)
     z = y * logits
     # log sigmoid(z), stable: -softplus(-z)
     logp_lik = jnp.sum(-jnp.logaddexp(0.0, -z), axis=1)              # (Bt,)
@@ -40,7 +46,11 @@ def _logreg_kernel(theta_ref, xt_ref, x_ref, y_ref, logp_ref, grad_ref):
     logp_ref[...] = (logp_lik + logp_prior)[:, None]
     s = y * jax.nn.sigmoid(-z)                                       # (Bt, N)
     grad_ref[...] = (
-        jnp.dot(s, x_ref[...], preferred_element_type=jnp.float32) - theta
+        jnp.dot(
+            s, x_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) - theta
     )
 
 

@@ -178,7 +178,11 @@ def run_warmup(
                 logps_host.append(np.asarray(outs[1]))
             if progress is not None:
                 progress("warmup", it)
-            if it >= warmup_cfg.min_iter and it < warmup_cfg.max_iter:
+            # evaluated on the final block too (not just while it can stop
+            # the loop) so RunInfo reflects convergence reached exactly at
+            # max_iter — the reference controller polls at the last
+            # iteration as well (adapt.hpp:203-225)
+            if it >= warmup_cfg.min_iter:
                 converged = check()
     except KeyboardInterrupt:
         info.interrupted = True
@@ -365,7 +369,11 @@ def run_sampling(
                 logps_host.append(np.asarray(logp))
             if progress is not None:
                 progress("sampling", it)
-            if it >= max(sampling_cfg.min_iter, 2) and it < sampling_cfg.max_iter:
+            # also evaluated on the final block (see the warmup note): the
+            # last R-hat lands in rhat_trace / on_r_hat and
+            # converged_sampling is true when the tolerance is met at
+            # exactly max_iter (sampler.hpp:142-152 polls there too)
+            if it >= max(sampling_cfg.min_iter, 2):
                 r = float(rhat_fn(state))
                 info.rhat_trace.append(r)
                 if on_r_hat is not None:
