@@ -69,10 +69,14 @@ class TestSamplingRhat:
         rng = np.random.default_rng(0)
         means = rng.standard_normal(5)
         m2s = np.abs(rng.standard_normal(5)) * 9.0  # counts=10 -> var=m2/9
+        from walnuts_tpu.core.transition import FailStats
+
+        zeros5 = jnp.zeros(5, jnp.int32)
         state = SampleState(
             key=jax.random.split(jax.random.key(0), 5),
             theta=jnp.zeros((5, 2)),
             n_grads=jnp.zeros(5, jnp.int32),
+            fails=FailStats(zeros5, zeros5, zeros5),
             lp_count=jnp.full((5,), 10.0),
             lp_mean=jnp.asarray(means),
             lp_m2=jnp.asarray(m2s),

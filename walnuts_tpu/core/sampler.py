@@ -27,7 +27,11 @@ from walnuts_tpu.core.adapt import (
     min_micro_init,
     min_micro_observe,
 )
-from walnuts_tpu.core.transition import TransitionResult, make_transition
+from walnuts_tpu.core.transition import (
+    FailStats,
+    TransitionResult,
+    make_transition,
+)
 from walnuts_tpu.ops.math import LogpGradFn
 
 Array = jax.Array
@@ -43,6 +47,7 @@ class WarmupState(NamedTuple):
     min_micro: MinMicroState
     iteration: Array  # int32
     n_grads: Array    # int32, cumulative gradient evaluations
+    fails: FailStats  # cumulative failure counters (see FailStats)
 
 
 class WarmupOutput(NamedTuple):
@@ -71,6 +76,7 @@ class SampleState(NamedTuple):
     key: Array
     theta: Array
     n_grads: Array
+    fails: FailStats
     # running Welford of the draw log densities, powering the cross-chain
     # R-hat early-stopping reduction (sampler.hpp:30-39, 88-92).
     lp_count: Array
@@ -115,6 +121,7 @@ def init_warmup_state(
         ),
         iteration=jnp.int32(0),
         n_grads=jnp.int32(0),
+        fails=FailStats.zeros(),
     )
 
 
@@ -157,6 +164,7 @@ def make_warmup_step(
             min_micro=mm,
             iteration=state.iteration + 1,
             n_grads=state.n_grads + res.n_grads,
+            fails=jax.tree.map(jnp.add, state.fails, res.fails),
         )
         out = WarmupOutput(
             theta=res.theta,
@@ -187,6 +195,7 @@ def init_sample_state(state: WarmupState) -> SampleState:
         key=state.key,
         theta=state.theta,
         n_grads=state.n_grads,
+        fails=state.fails,
         lp_count=zero,
         lp_mean=zero,
         lp_m2=zero,
@@ -227,6 +236,7 @@ def make_sample_step(
             key=res.key,
             theta=res.theta,
             n_grads=state.n_grads + res.n_grads,
+            fails=jax.tree.map(jnp.add, state.fails, res.fails),
             lp_count=count,
             lp_mean=mean,
             lp_m2=m2,

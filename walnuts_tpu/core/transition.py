@@ -183,6 +183,35 @@ def span_combine(unif, older_v, older_s, newer_v, newer_s, forward, barker: bool
     return v, s
 
 
+class FailStats(NamedTuple):
+    """Per-chain failure/pathology counters (all int32).
+
+    The JAX-native analog of the reference's ``on_logp_exception``
+    notification (concepts.hpp:193-200, util.hpp:336-346): exceptions
+    don't exist in jitted code, so pathologies are counted in the carried
+    state and surfaced through ``RunInfo`` instead of a callback.
+
+    - ``n_halve_fail``: macro steps that exhausted every step halving
+      without meeting the Hamiltonian-error tolerance (the leaf failure
+      at walnuts.hpp:322-343 when all ``max_step_halvings`` are spent) —
+      the stuck-chain signature.
+    - ``n_nonfinite``: integration attempts that ended on a non-finite
+      log density (the reference's -inf/NoExceptLogpGrad trap firing).
+    - ``n_depth_exhausted``: transitions that hit ``max_depth`` doublings
+      without a U-turn (depth reported as ``max_depth + 1``,
+      walnuts.hpp:536).
+    """
+
+    n_halve_fail: Array
+    n_nonfinite: Array
+    n_depth_exhausted: Array
+
+    @staticmethod
+    def zeros() -> "FailStats":
+        z = jnp.int32(0)
+        return FailStats(z, z, z)
+
+
 class TransitionState(NamedTuple):
     """Per-chain while-loop carry. See module docstring for the phases."""
 
@@ -219,6 +248,7 @@ class TransitionState(NamedTuple):
     fwd_joint: Array
     adam: AdamState
     n_grads: Array         # int32, gradient evals used by this lane
+    fails: FailStats
 
 
 class TransitionResult(NamedTuple):
@@ -229,6 +259,7 @@ class TransitionResult(NamedTuple):
     n_grads: Array         # int32
     adam: AdamState
     key: Array
+    fails: FailStats
 
 
 def make_transition_parts(
@@ -249,7 +280,7 @@ def make_transition_parts(
     n_slots = max(max_depth - 1, 1)
 
     def init_state(key, theta, logp0, grad0, step, inv_mass, min_micro,
-                   adam, n_grads):
+                   adam, n_grads, fails=None):
         dtype = theta.dtype
         e_dtype = jnp.bfloat16 if bf16_ends else dtype
         key, k_mom, k_dir = jax.random.split(key, 3)
@@ -293,6 +324,7 @@ def make_transition_parts(
             fwd_joint=joint0,
             adam=adam,
             n_grads=n_grads,
+            fails=FailStats.zeros() if fails is None else fails,
         )
 
     def body(s: TransitionState, step, inv_mass, min_micro,
@@ -360,7 +392,8 @@ def make_transition_parts(
         leaf_ok = f_done & f_ok & ~need_rev
         more_halvings = (s.halvings + 1) < max_step_halvings
         restart = f_done & ~f_ok & more_halvings
-        leaf_fail = f_done & ~f_ok & ~more_halvings
+        halve_exhausted = f_done & ~f_ok & ~more_halvings
+        leaf_fail = halve_exhausted
 
         # ---- reversibility level completed (reversible, walnuts.hpp:267-277)
         r_done = att_done & ~in_fwd
@@ -480,6 +513,14 @@ def make_transition_parts(
         # ---- termination bookkeeping ----
         fail = leaf_fail | sub_uturn
         done = s.done | fail | end_uturn | exhausted
+        fails = FailStats(
+            n_halve_fail=s.fails.n_halve_fail
+            + halve_exhausted.astype(jnp.int32),
+            n_nonfinite=s.fails.n_nonfinite
+            + (~jnp.isfinite(lp_n)).astype(jnp.int32),
+            n_depth_exhausted=s.fails.n_depth_exhausted
+            + exhausted.astype(jnp.int32),
+        )
         out_depth = jnp.where(
             fail | end_uturn,
             s.depth,
@@ -555,6 +596,7 @@ def make_transition_parts(
             cur=cur, fwd=fwd,
             fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
             adam=adam, n_grads=s.n_grads + grads_used,
+            fails=fails,
         )
 
     return init_state, body
@@ -627,6 +669,7 @@ def make_transition(
             n_grads=final.n_grads,
             adam=final.adam,
             key=final.key,
+            fails=final.fails,
         )
 
     return transition
@@ -704,7 +747,7 @@ def make_flat_sample_block(
             return init_state(
                 ts.key, ts.acc_v[_THETA_SEL], ts.acc_s[_LOGP_SEL],
                 ts.acc_grad_sel, step, inv_mass, min_micro,
-                ts.adam, ts.n_grads,
+                ts.adam, ts.n_grads, ts.fails,
             )
 
         def scan_step(ts, _):
@@ -745,6 +788,7 @@ def make_flat_sample_block(
 
 
 __all__ = [
+    "FailStats",
     "FlatBlockResult",
     "TransitionResult",
     "TransitionState",

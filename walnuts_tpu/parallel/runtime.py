@@ -65,11 +65,23 @@ class RunInfo:
     used (the reference's profiling counter, stan_cli.cpp:121-139);
     ``rhat_trace`` records the controller's R-hat sequence (the
     ``on_r_hat`` callback payload, sampler.hpp:146).
+
+    The per-chain failure counters are the JAX-native analog of the
+    reference's ``on_logp_exception`` notification (concepts.hpp:193-200):
+    ``n_halve_fail`` counts macro steps that spent every step halving
+    without meeting the Hamiltonian-error tolerance, ``n_nonfinite``
+    counts integration attempts ending on a non-finite log density, and
+    ``n_depth_exhausted`` counts transitions that hit the doubling budget
+    without a U-turn. A chain with outsized counters is stuck or
+    numerically struggling — visible here without post-hoc analysis.
     """
 
     warmup_iters: int = 0
     sampling_iters: int = 0
     n_grads: Optional[np.ndarray] = None
+    n_halve_fail: Optional[np.ndarray] = None
+    n_nonfinite: Optional[np.ndarray] = None
+    n_depth_exhausted: Optional[np.ndarray] = None
     rhat_trace: List[float] = field(default_factory=list)
     converged_warmup: bool = False
     converged_sampling: bool = False
@@ -190,6 +202,9 @@ def run_warmup(
 
     info.warmup_iters = it
     info.converged_warmup = converged
+    info.n_halve_fail = np.asarray(state.fails.n_halve_fail)
+    info.n_nonfinite = np.asarray(state.fails.n_nonfinite)
+    info.n_depth_exhausted = np.asarray(state.fails.n_depth_exhausted)
     warmup_draws = np.concatenate(draws_host, axis=0) if draws_host else None
     warmup_logps = np.concatenate(logps_host, axis=0) if logps_host else None
     return state, warmup_draws, warmup_logps, info
@@ -335,6 +350,10 @@ def run_sampling(
                 key=res.bank.key,
                 theta=draws[-1],
                 n_grads=s.n_grads + (res.bank.n_grads - b.n_grads),
+                fails=jax.tree.map(
+                    lambda sf, nb, ob: sf + (nb - ob),
+                    s.fails, res.bank.fails, b.fails,
+                ),
                 lp_count=tot,
                 lp_mean=s.lp_mean + delta * cnt_b / tot,
                 lp_m2=s.lp_m2 + m2_b + delta**2 * s.lp_count * cnt_b / tot,
@@ -386,6 +405,9 @@ def run_sampling(
     info.sampling_iters = it
     info.converged_sampling = converged
     info.n_grads = np.asarray(state.n_grads)
+    info.n_halve_fail = np.asarray(state.fails.n_halve_fail)
+    info.n_nonfinite = np.asarray(state.fails.n_nonfinite)
+    info.n_depth_exhausted = np.asarray(state.fails.n_depth_exhausted)
     cat = jnp.concatenate if device_draws else np.concatenate
     draws = cat(draws_host, axis=0) if draws_host else np.empty((0,))
     logps = cat(logps_host, axis=0) if logps_host else np.empty((0,))
@@ -394,6 +416,9 @@ def run_sampling(
         inverse = np.argsort(permutation)
         state = jax.tree.map(lambda x: x[jnp.asarray(inverse)], state)
         info.n_grads = info.n_grads[inverse]
+        info.n_halve_fail = info.n_halve_fail[inverse]
+        info.n_nonfinite = info.n_nonfinite[inverse]
+        info.n_depth_exhausted = info.n_depth_exhausted[inverse]
         if draws.size:
             inv = jnp.asarray(inverse) if device_draws else inverse
             draws = draws[:, inv]
