@@ -129,8 +129,18 @@ class TestOutputs:
     def test_no_warmup_saved_by_default(self):
         out = sample()
         assert out[0].warmup.warmup_draws is None
+        assert out[0].warmup.warmup_logps is None
         assert out[0].warmup.inv_metric is None
         assert out[0].warmup.stepsize > 0
+
+    def test_warmup_logps_saved_with_warmup(self):
+        """save_warmup also surfaces the per-iteration warmup log
+        densities (the on_warmup payload, handlers.hpp:73-89)."""
+        out = sample(min_warmup_iter=7, max_warmup_iter=7, save_warmup=True)
+        for chain in out:
+            lps = chain.warmup.warmup_logps
+            assert lps.shape == (7,)
+            assert np.isfinite(lps).all()
 
     def test_explicit_inits_used(self):
         inits = np.full((2, DIM), 0.25)

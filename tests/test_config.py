@@ -106,3 +106,32 @@ class TestValidation:
         cfg = SamplingConfig()
         with pytest.raises(Exception):
             cfg.max_iter = 7  # type: ignore[misc]
+
+    def test_to_kwargs_drives_walnuts(self):
+        """WalnutsConfig.to_kwargs() flattens into valid walnuts() kwargs
+        (the single-tier analog of walnutpy.cpp:134-149) and a config-driven
+        run honors the iteration bounds."""
+        import inspect
+
+        import jax.numpy as jnp
+
+        from walnuts_tpu.api import walnuts
+        from walnuts_tpu.config import InitConfig
+
+        cfg = WalnutsConfig(
+            init=InitConfig(init_radius=0.5),
+            warmup=WarmupConfig(min_iter=8, max_iter=8),
+            sampling=SamplingConfig(min_iter=6, max_iter=6,
+                                    max_trajectory_doublings=3,
+                                    max_step_halvings=3),
+        )
+        kw = cfg.to_kwargs()
+        sig = set(inspect.signature(walnuts).parameters)
+        assert set(kw).issubset(sig)
+        outs, info = walnuts(
+            lambda t: -0.5 * jnp.sum(t * t),
+            num_params=2, num_chains=2, seed=3, return_info=True, **kw,
+        )
+        assert info.warmup_iters == 8
+        assert info.sampling_iters == 6
+        assert outs[0].shape == (6, 2)

@@ -243,8 +243,19 @@ def walnuts(
     on_r_hat = None
     if refresh > 0:
         def progress(phase: str, iteration: int) -> None:
+            # per-chain lines in the reference PythonPrinter format
+            # (handlers.hpp:44-47). Chains run in lockstep blocks here, so
+            # all chains report the same iteration; the per-chain lines are
+            # kept for output compatibility (capped so thousands of vmapped
+            # chains don't flood the console — the reference never runs
+            # more chains than threads).
             if iteration % refresh == 0 or iteration == 0:
-                print(f"All chains: Iteration {iteration} ({phase.capitalize()})")
+                tag = "(Warmup)" if phase == "warmup" else "(Sampling)"
+                if num_chains <= 32:
+                    for cid in chain_ids:
+                        print(f"Chain [{cid}]: Iteration {iteration}\t{tag}")
+                else:
+                    print(f"All chains: Iteration {iteration} {tag}")
 
         # the reference's GlobalHandler prints each controller R-hat
         # (handlers.hpp:160-176)
@@ -261,7 +272,7 @@ def walnuts(
         wstate = jax.vmap(
             lambda k, t, m, s: init_warmup_state(k, t, m, s, warmup_cfg, sampling_cfg)
         )(chain_keys, theta0, init_mass, step0)
-        wstate, warmup_draws, _warmup_logps, info = run_warmup(
+        wstate, warmup_draws, warmup_logps, info = run_warmup(
             logp_grad, wstate, warmup_cfg, sampling_cfg,
             save_warmup=save_warmup, mesh=mesh, progress=progress,
             integrator=integrator, bf16_ends=bf16_ends,
@@ -292,6 +303,7 @@ def walnuts(
             stepsize=float(step_sizes[c]),
             inv_metric=inv_metric_out[c] if inv_metric_out is not None else None,
             warmup_draws=warmup_draws[:, c, :] if warmup_draws is not None else None,
+            warmup_logps=warmup_logps[:, c] if warmup_logps is not None else None,
         )
         outputs.append(WalnutsOutputArray(draws[:, c, :], wi))
 

@@ -201,12 +201,53 @@ class InitConfig:
 class WalnutsConfig:
     """Top-level configuration bundling init, warmup, and sampling.
 
-    Mirrors ``walnutpie::WalnutsConfig`` (config.hpp:1089-1137).
+    Mirrors ``walnutpie::WalnutsConfig`` (config.hpp:1089-1137). Drives
+    the end-to-end API via :meth:`to_kwargs`::
+
+        cfg = WalnutsConfig(sampling=SamplingConfig(max_iter=2000))
+        draws = walnuts(logp, num_params=d, **cfg.to_kwargs())
     """
 
     init: InitConfig = dataclasses.field(default_factory=InitConfig)
     warmup: WarmupConfig = dataclasses.field(default_factory=WarmupConfig)
     sampling: SamplingConfig = dataclasses.field(default_factory=SamplingConfig)
+
+    def to_kwargs(self) -> dict:
+        """Flatten into the keyword arguments of :func:`walnuts_tpu.walnuts`
+        (the single-tier analog of the C ABI's config flattening,
+        walnutpy.cpp:134-149).
+
+        ``block_size`` comes from the sampling config; ``step_size_init``
+        from the init config (the warmup config's copy is the same knob,
+        config.hpp:563).
+        """
+        w, s, i = self.warmup, self.sampling, self.init
+        return {
+            "init_radius": i.init_radius,
+            "step_size_init": i.step_size_init,
+            "adapt_init_step": i.adapt_init_step,
+            "min_warmup_iter": w.min_iter,
+            "max_warmup_iter": w.max_iter,
+            "step_size_converge_tol": w.step_size_converge_tol,
+            "mass_converge_tol": w.mass_converge_tol,
+            "mass_init_count": w.mass_init_count,
+            "mass_additive_smoothing": w.mass_additive_smoothing,
+            "max_macro_steps_target": w.max_macro_steps_target,
+            "step_accept_rate_target": w.step_accept_rate_target,
+            "step_learning_rate": w.step_learning_rate,
+            "step_gradient_decay": w.step_gradient_decay,
+            "step_sq_gradient_decay": w.step_sq_gradient_decay,
+            "step_stabilization": w.step_stabilization,
+            "step_learn_rate_decay": w.step_learn_rate_decay,
+            "min_sampling_iter": s.min_iter,
+            "max_sampling_iter": s.max_iter,
+            "max_trajectory_doublings": s.max_trajectory_doublings,
+            "max_step_halvings": s.max_step_halvings,
+            "min_micro_steps": s.min_micro_steps,
+            "max_hamiltonian_error": s.max_hamiltonian_error,
+            "rhat_converge_tol": s.rhat_converge_tol,
+            "block_size": s.block_size,
+        }
 
 
 __all__ = [

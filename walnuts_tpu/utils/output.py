@@ -19,11 +19,18 @@ T = TypeVar("T")
 
 @dataclass
 class WarmupInfo(Generic[T]):
-    """Adapted warmup results for one chain (util.py:53-70)."""
+    """Adapted warmup results for one chain (util.py:53-70).
+
+    ``warmup_logps`` (the per-iteration log densities the reference's
+    ``on_warmup`` handler receives alongside each draw, handlers.hpp:73-89)
+    is an extension over the reference's container: it rides along with
+    ``save_warmup`` at no extra cost.
+    """
 
     stepsize: Optional[float] = None
     inv_metric: Optional[T] = None
     warmup_draws: Optional[T] = None
+    warmup_logps: Optional[T] = None
 
 
 class WalnutsOutputArray(np.ndarray):
