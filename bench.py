@@ -100,11 +100,14 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     jax.block_until_ready((sstate, draws))
     sampling_time = time.time() - t0
     t0 = time.time()
-    draws = np.asarray(draws)
+    if dim <= 256:
+        draws = np.asarray(draws)
+    # very wide posteriors (the 1003-dim SV) stay device-resident: the
+    # host link cannot move the 6.6 GB cube; ESS runs on device instead
     transfer_time = time.time() - t0
     total_grads = int(np.sum(info.n_grads))
     return {
-        "draws": draws,  # (iters, C, D)
+        "draws": draws,  # (iters, C, D); jax array when dim > 256
         "warmup_time": warmup_time,
         "sampling_time": sampling_time,
         "transfer_time": transfer_time,
@@ -123,6 +126,10 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
 
     if model_name == "funnel":
         logp, dim = funnel(101)
+    elif model_name == "sv":
+        from walnuts_tpu.models import stochastic_volatility
+
+        logp, dim = stochastic_volatility()
     else:
         logp, dim = logistic_regression()
     logp_grad = make_logp_grad(logp)
@@ -135,11 +142,24 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
                   seed + 1, jnp.float32)
 
-    draws = np.moveaxis(r.pop("draws"), 0, 1)  # (C, iters, D)
-    # ESS over ALL dims; the native baseline now records all dims too
+    draws = r.pop("draws")
+    # ESS over ALL dims; the native baseline records all dims too
     # (csrc/baseline_bench.cpp keep_dims), so the median-ESS estimator is
     # the same protocol on both sides of vs_baseline
-    ess = effective_sample_size([draws[c] for c in range(draws.shape[0])])
+    if isinstance(draws, np.ndarray):
+        draws = np.moveaxis(draws, 0, 1)  # (C, iters, D)
+        ess = effective_sample_size([draws[c] for c in range(draws.shape[0])])
+    else:
+        # device-resident wide cube: chunked on-device Geyer ESS (matches
+        # the host estimator to float tolerance; tested)
+        import jax.numpy as jnp_
+
+        from walnuts_tpu.summary_device import (
+            effective_sample_size_device_chunked,
+        )
+
+        ess = np.asarray(effective_sample_size_device_chunked(
+            jnp_.moveaxis(draws, 0, 1)))
     total_time = r["warmup_time"] + r["sampling_time"]
     return {
         "model": model_name,
@@ -173,13 +193,21 @@ def main():
     sampling_iters = int(os.environ.get("BENCH_SAMPLING", 400))
 
     backend = jax.default_backend()
+    # headline metric = funnel + logreg geomean (BASELINE.json); BENCH_SV=1
+    # adds the 1003-dim stochastic-volatility flagship (configs[4]) to the
+    # detail without changing the headline
+    models = ["funnel", "logreg"]
+    if int(os.environ.get("BENCH_SV", 0)):
+        models.append("sv")
     results = []
-    for model in ("funnel", "logreg"):
+    for model in models:
         results.append(
             _ess_per_sec(model, n_chains, warmup_iters, sampling_iters, seed=2026)
         )
 
-    value = float(np.exp(np.mean([np.log(r["ess_per_sec"]) for r in results])))
+    value = float(np.exp(np.mean(
+        [np.log(r["ess_per_sec"]) for r in results if r["model"] != "sv"]
+    )))
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
@@ -192,7 +220,11 @@ def main():
         for r in results:
             key = f"{r['model']}_ess_per_sec_1core"
             if key in base:
-                per_model.append(r["ess_per_sec"] / (64.0 * base[key]))
+                r["ess_per_sec_vs_baseline_64core"] = float(
+                    r["ess_per_sec"] / (64.0 * base[key])
+                )
+                if r["model"] != "sv":  # headline stays funnel+logreg
+                    per_model.append(r["ess_per_sec"] / (64.0 * base[key]))
             # ESS/grad parity vs the native reference implementation, from
             # the SAME run that produces the throughput number (north star:
             # within 5%; reference counting per stan_cli.cpp:121-139)

@@ -54,6 +54,65 @@ struct Funnel : Target {
   }
 };
 
+// Stochastic volatility with a non-centered latent AR(1) — the same
+// posterior as walnuts_tpu.models.targets.stochastic_volatility (the
+// returns series is exported by csrc/run_baseline.py so both samplers hit
+// the identical density). theta = [mu, phi_raw, log_sigma, z_1..z_T].
+struct StochVol : Target {
+  int T;
+  std::vector<double> r2;  // squared returns
+  mutable std::vector<double> u, a, v;
+  explicit StochVol(const char* data_path) {
+    FILE* f = std::fopen(data_path, "rb");
+    if (!f) { std::perror("sv data"); std::exit(1); }
+    int32_t hdr;
+    if (std::fread(&hdr, sizeof(int32_t), 1, f) != 1) std::exit(1);
+    T = hdr;
+    r2.resize(T);
+    if (std::fread(r2.data(), sizeof(double), r2.size(), f) != r2.size()) std::exit(1);
+    std::fclose(f);
+    for (auto& x : r2) x *= x;
+    u.resize(T); a.resize(T); v.resize(T + 1);
+  }
+  int dim() const override { return T + 3; }
+  double logp_grad(const Vec& q, Vec& grad) const override {
+    const double mu = q[0], phi_raw = q[1], log_sigma = q[2];
+    const double* z = q.data() + 3;
+    const double phi = std::tanh(phi_raw);
+    const double sigma = std::exp(log_sigma);
+    const double omp2 = 1.0 - phi * phi + 1e-12;
+    const double scale0 = 1.0 / std::sqrt(omp2);
+    // forward filter u_t = phi*u_{t-1} + z_t, u_1 = z_1*scale0
+    u[0] = z[0] * scale0;
+    for (int t = 1; t < T; ++t) u[t] = phi * u[t - 1] + z[t];
+    double lp = 0.0, sum_a = 0.0, sum_au = 0.0, sum_z2 = 0.0;
+    for (int t = 0; t < T; ++t) {
+      const double h = mu + sigma * u[t];
+      const double e = std::exp(-h);
+      lp += -0.5 * (r2[t] * e + h);
+      a[t] = 0.5 * (r2[t] * e - 1.0);  // dlp/dh_t
+      sum_a += a[t];
+      sum_au += a[t] * u[t];
+      sum_z2 += z[t] * z[t];
+    }
+    lp += -0.5 * sum_z2 - 0.5 * mu * mu / 100.0
+        - 0.5 * phi_raw * phi_raw / 4.0 - 0.5 * log_sigma * log_sigma / 4.0;
+    // backward adjoint v_t = dlp/du_t = sigma*a_t + phi*v_{t+1}
+    v[T] = 0.0;
+    for (int t = T - 1; t >= 0; --t) v[t] = sigma * a[t] + phi * v[t + 1];
+    grad[0] = sum_a - mu / 100.0;
+    grad[2] = sigma * sum_au - log_sigma / 4.0;
+    grad[3] = v[0] * scale0 - z[0];
+    for (int t = 1; t < T; ++t) grad[3 + t] = v[t] - z[t];
+    // dlp/dphi: recursion term + the scale0(phi) term of u_1
+    double dphi = 0.0;
+    for (int t = 1; t < T; ++t) dphi += v[t] * u[t - 1];
+    dphi += v[0] * z[0] * phi / (omp2 * std::sqrt(omp2));
+    grad[1] = dphi * (1.0 - phi * phi) - phi_raw / 4.0;
+    return lp;
+  }
+};
+
 struct LogReg : Target {
   int n_obs, n_cov;
   std::vector<double> x;   // row-major n_obs x n_cov, with intercept column
@@ -365,6 +424,10 @@ int main(int argc, char** argv) {
 
   std::unique_ptr<Target> tgt;
   if (model == "funnel") tgt = std::make_unique<Funnel>(101);
+  else if (model == "sv") {
+    if (argc <= 7) { std::fprintf(stderr, "sv needs a data file\n"); return 1; }
+    tgt = std::make_unique<StochVol>(argv[7]);
+  }
   else if (argc > 7) tgt = std::make_unique<LogReg>(argv[7]);
   else tgt = std::make_unique<LogReg>(1000, 25, 20260816ULL);
   const int d = tgt->dim();

@@ -44,11 +44,28 @@ def export_logreg_data(path: str) -> None:
         y_sign.astype(np.float64).tofile(f)
 
 
+def export_sv_data(path: str) -> None:
+    """Write the stochastic-volatility returns series so the C++ bench
+    samples the SAME posterior (targets.stochastic_volatility_data)."""
+    import struct
+
+    from walnuts_tpu.models.targets import stochastic_volatility_data
+
+    returns = stochastic_volatility_data()
+    with open(path, "wb") as f:
+        f.write(struct.pack("i", len(returns)))
+        returns.astype(np.float64).tofile(f)
+
+
 def run_model(binary: str, model: str, chains: int, warmup: int, sampling: int):
     extra = []
     if model == "logreg":
         data_path = os.path.join(HERE, "logreg_data.bin")
         export_logreg_data(data_path)
+        extra = [data_path]
+    elif model == "sv":
+        data_path = os.path.join(HERE, "sv_data.bin")
+        export_sv_data(data_path)
         extra = [data_path]
     with tempfile.NamedTemporaryFile(suffix=".bin") as tmp:
         out = subprocess.check_output(
@@ -81,11 +98,16 @@ def main():
     chains = int(os.environ.get("BASELINE_CHAINS", 16))
     warmup = int(os.environ.get("BASELINE_WARMUP", 400))
     sampling = int(os.environ.get("BASELINE_SAMPLING", 400))
+    out_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
     results = {"note": "single-core native C++ WALNUTS baseline (csrc/baseline_bench.cpp)"}
-    for model in ("funnel", "logreg"):
+    if os.path.exists(out_path):
+        # merge: re-running a model subset keeps the other models' entries
+        with open(out_path) as f:
+            results.update(json.load(f))
+    models = os.environ.get("BASELINE_MODELS", "funnel,logreg,sv").split(",")
+    for model in models:
         results.update(run_model(binary, model, chains, warmup, sampling))
         print(model, "done")
-    out_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))

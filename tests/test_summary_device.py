@@ -24,6 +24,21 @@ class TestDeviceSummary:
         dev = np.asarray(effective_sample_size_device(jnp.asarray(draws)))
         np.testing.assert_allclose(dev, host, rtol=1e-8)
 
+    def test_ess_chunked_matches_full(self):
+        """Dimension-chunked ESS (the wide-posterior memory path) equals
+        the full-width computation, including a remainder chunk."""
+        from walnuts_tpu.summary_device import (
+            effective_sample_size_device_chunked,
+        )
+
+        rng = np.random.default_rng(0)
+        draws = np.cumsum(rng.standard_normal((3, 40, 7)) * 0.5, axis=1)
+        full = np.asarray(effective_sample_size_device(jnp.asarray(draws)))
+        chunked = np.asarray(
+            effective_sample_size_device_chunked(jnp.asarray(draws), chunk=3)
+        )
+        np.testing.assert_allclose(chunked, full, rtol=1e-7)
+
     def test_ess_reference_anchor(self):
         """The deterministic anchor (summary_test.cpp:993-994) through the
         device path."""

@@ -187,6 +187,23 @@ def logistic_regression(
     return logp, dim
 
 
+def stochastic_volatility_data(
+    num_times: int = 1000, seed: int = 20260816
+) -> np.ndarray:
+    """Synthetic returns series for the stochastic-volatility posterior.
+
+    Exposed separately so the native baseline (csrc/baseline_bench.cpp)
+    can sample the exact same posterior (csrc/run_baseline.py exports this
+    series for it, like the logistic-regression dataset)."""
+    rng = np.random.default_rng(seed)
+    phi_true, sigma_true, mu_true = 0.97, 0.25, -1.0
+    h = np.empty(num_times)
+    h[0] = mu_true + sigma_true / math.sqrt(1 - phi_true**2) * rng.standard_normal()
+    for t in range(1, num_times):
+        h[t] = mu_true + phi_true * (h[t - 1] - mu_true) + sigma_true * rng.standard_normal()
+    return np.exp(h / 2) * rng.standard_normal(num_times)
+
+
 def stochastic_volatility(
     num_times: int = 1000,
     seed: int = 20260816,
@@ -203,13 +220,7 @@ def stochastic_volatility(
     ``jnp.cumsum``-free ``lax.scan``-compatible arithmetic via an
     associative scan so the gradient stays fused.
     """
-    rng = np.random.default_rng(seed)
-    phi_true, sigma_true, mu_true = 0.97, 0.25, -1.0
-    h = np.empty(num_times)
-    h[0] = mu_true + sigma_true / math.sqrt(1 - phi_true**2) * rng.standard_normal()
-    for t in range(1, num_times):
-        h[t] = mu_true + phi_true * (h[t - 1] - mu_true) + sigma_true * rng.standard_normal()
-    returns = np.exp(h / 2) * rng.standard_normal(num_times)
+    returns = stochastic_volatility_data(num_times, seed)
     returns_j = jnp.asarray(returns)
 
     def logp(theta: Array) -> Array:
@@ -253,4 +264,5 @@ __all__ = [
     "logistic_regression",
     "std_normal",
     "stochastic_volatility",
+    "stochastic_volatility_data",
 ]

@@ -1,27 +1,15 @@
-"""EXPERIMENTAL: the entire WALNUTS transition as one Pallas kernel.
+"""The entire WALNUTS transition as one Pallas kernel.
 
-STATUS: correct and tested in interpret mode (tests/test_fused_transition.py
-— moments, halving/reversibility paths, statistics matching the XLA
-transition). Real-TPU compilation currently dies inside the Mosaic
-compiler on this JAX build (jax 0.9.0 via the axon remote-compile path):
-after working around "Invalid relayout" on (B, 1) integer loop carries
-(fixed: full-lane-width integer state, data-derived inits, arithmetic
-blends instead of select_n) and "offset mismatch on non-concat dimension"
-(fixed: row-masked span builds instead of mid-dim concat/stack), the
-compiler aborts with `Check failed: limits[i] <= dim(i) (16 vs. 1)` with
-no location — an internal bug that persists at max_depth=1, after
-flattening all 4D state to 3D, removing lane slicing/concat from the model kernels, and ruling
-out (via standalone probes that all compile) boolean/int selects, wide
-integer carries, never-written carries, inner-loop-derived masks, and
-row-masked pack/merge in isolation: only the full kernel triggers it.
-Re-attempt on a newer toolchain; the expected payoff is 10-50x on
-bandwidth-bound targets (see docs/ROADMAP.md).
+STATUS: compiles and runs on real TPU (v5e) as of round 2, and remains
+interpret-mode testable everywhere (tests/test_fused_transition.py —
+moments, halving/reversibility paths, statistics matching the XLA
+transition).
 
 The XLA transition (core/transition.py) is bandwidth-bound on its
 per-attempt span/stack bookkeeping: at 4096 chains x funnel(101) each
 outer iteration moves ~250 MB of HBM traffic plus per-op launch latency.
 A 128-chain tile's ENTIRE transition state (orbit span, merge stack,
-cursors — ~2.5 MB) fits in VMEM, so this kernel runs the full transition
+cursors — a few MB) fits in VMEM, so this kernel runs the full transition
 per tile with zero HBM traffic inside the loop:
 
   - the model's batched value-and-gradient is inlined (same hand-written
@@ -32,8 +20,32 @@ per tile with zero HBM traffic inside the loop:
     signature matches the XLA path);
   - each tile iterates until ITS lanes finish — tail-lane divergence only
     stalls one tile, not the whole batch;
-  - the algorithm is the same two-level structure, with the inner
-    integration loop inlined (one fori per attempt).
+  - the algorithm is the same two-level structure as core/transition.py,
+    with the inner integration loop inlined (one fori per attempt).
+
+Mosaic pitfalls this kernel works around (each bisected against the
+real-TPU compiler, jax 0.9.0):
+
+  1. (B, 1) and (B, 4) loop carries: layout inference marks them
+     lane-replicated and the while-loop back-edge relayout of computed
+     updates crashes ("Invalid relayout"). EVERY per-lane scalar —
+     integer and float, including the four span scalars — is carried at
+     (B, lane_width) instead, with narrow [:, :1] views at use sites.
+  2. Constant-folded inits: zeros built as ``data * 0`` or ``x - x``
+     canonicalize to splat constants whose carry layout is FULLY
+     replicated ({*,*}); the body computes lane-replicated ({0,*})
+     values and the back-edge relayout {0,*} -> {*,*} is invalid. This
+     surfaces as an unlocated ``Check failed: limits[i] <= dim(i)
+     (B/8 vs. 1)`` abort unless most of the body is dead code. Zeros are
+     derived as ``jnp.minimum(data, 0)`` (fold-proof: positivity of the
+     data is runtime knowledge), so every carry keeps a concrete
+     lane-replicated layout.
+  3. select_n on integer/bool operands with mixed replicated layouts:
+     integer selects are arithmetic blends (``_iwhere``).
+  4. Mid-dimension slicing/concat of span rows: spans are built with
+     row-masked full-array selects over an iota (``pack8``/``pack3``).
+  5. The default 16 MB scoped-VMEM limit: the carried state exceeds it;
+     ``vmem_limit_bytes`` raises it via CompilerParams.
 
 Statistically this is the same sampler as the XLA path (identical decision
 structure; independent uniforms per decision) but NOT bitwise identical —
@@ -43,7 +55,9 @@ Interface: ``make_fused_transition(batched_vg, dim, max_depth,
 max_step_halvings, block_b)`` returns ``fn(seed, theta (C, D), rho (C, D),
 logp0 (C,), grad0 (C, D), step (C,), inv_mass (C, D), min_micro (C,),
 max_error) -> (theta', grad', logp', depth, n_grads)`` — a batched
-transition given a pre-drawn momentum.
+transition given a pre-drawn momentum. Replaces macro_step/build_span/
+transition_w of the reference (walnuts.hpp:307-563) for sampling-phase
+zoo models.
 """
 
 from __future__ import annotations
@@ -55,17 +69,14 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# span rows (same layout as core/transition.py)
+# span vector rows
 _TB, _RB, _GB = 0, 1, 2      # backward endpoint: theta, rho, grad
 _TF, _RF, _GF = 3, 4, 5      # forward endpoint
 _TS, _GS = 6, 7              # selected: theta, grad
-_LB, _LF, _LS, _LW = 0, 1, 2, 3  # scalars: joint bk, joint fw, logp sel, logw
 
 
 def _hash32(x):
-    """murmur3 finalizer: a stateless high-avalanche uint32 hash. Used as a
-    counter-based PRNG inside the kernel (portable: plain integer ops, no
-    pltpu.prng_* so interpret mode works everywhere)."""
+    """murmur3 finalizer: a stateless high-avalanche uint32 hash."""
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -75,18 +86,14 @@ def _hash32(x):
 
 
 def _iwhere(pred, a, b):
-    """Integer select as an arithmetic blend: Mosaic's select_n lowering
-    hits relayout bugs on (B, 1) integer vectors with mixed replicated
-    layouts; mul/add does not."""
+    """Integer select as an arithmetic blend (Mosaic select_n relayout
+    bug workaround)."""
     m = pred.astype(a.dtype if hasattr(a, "dtype") else jnp.int32)
     return b + m * (a - b)
 
 
 def _uniform_from_bits(bits):
-    """uint32 random bits -> uniform (0, 1] float32 (24-bit mantissa).
-
-    The cast routes through int32 (the 24-bit value is non-negative);
-    Mosaic has no uint32 -> float32 lowering."""
+    """uint32 random bits -> uniform (0, 1] float32 (24-bit mantissa)."""
     return (
         (bits >> 8).astype(jnp.int32).astype(jnp.float32)
         * jnp.float32(1.0 / (1 << 24))
@@ -102,49 +109,35 @@ def make_fused_transition(
     block_b: int = 128,
     interpret: bool = False,
     consts: tuple = (),
+    lane_width: int = 8,
+    vmem_limit_bytes: int = 64 * 1024 * 1024,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = dim
     MD = max_depth
+    L = lane_width
 
-    # iotas are created inside each helper call (module-level jnp arrays
-    # would be closure-captured constants, which pallas rejects)
     def _row8():
         return jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
 
     def _row3():
         return jax.lax.broadcasted_iota(jnp.int32, (1, 3, 1), 1)
 
-    def _col4():
-        return jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
-
     def pack8(theta, rho, grad):
-        """Span vectors (B, 8, D) from point data without mid-dim concat
-        (Mosaic NYI): rows {0,3,6}=theta, {1,4}=rho, {2,5,7}=grad."""
+        """Span vectors (B, 8, D): rows {0,3,6}=theta, {1,4}=rho, {2,5,7}=grad."""
         ROW8 = _row8()
         is_theta = (ROW8 == 0) | (ROW8 == 3) | (ROW8 == 6)
         is_rho = (ROW8 == 1) | (ROW8 == 4)
-        t = theta[:, None]
-        r = rho[:, None]
-        g = grad[:, None]
-        return jnp.where(is_theta, t, jnp.where(is_rho, r, g))
+        return jnp.where(is_theta, theta[:, None],
+                         jnp.where(is_rho, rho[:, None], grad[:, None]))
 
     def pack3(theta, rho, grad):
-        """Cursor (B, 3, D) rows {0}=theta, {1}=rho, {2}=grad."""
         ROW3 = _row3()
         return jnp.where(
             ROW3 == 0, theta[:, None],
             jnp.where(ROW3 == 1, rho[:, None], grad[:, None]),
-        )
-
-    def pack_s(bk, fw, sel, logw):
-        """Span scalars (B, 4) from (B, 1) columns without concat."""
-        COL4 = _col4()
-        return jnp.where(
-            COL4 == 0, bk,
-            jnp.where(COL4 == 1, fw, jnp.where(COL4 == 2, sel, logw)),
         )
 
     def kinetic(rho, inv_mass):
@@ -168,12 +161,13 @@ def make_fused_transition(
         return (hi < 0) | (lo < 0)
 
     def combine(u, old_v, old_s, new_v, new_s, fwd, barker):
-        # u: (B, 1) uniform; spans (B, 8, D); scalars (B, 4). Built with
-        # row-masked full-array selects instead of mid-dim slicing/concat
-        # (Mosaic NYI: "offset mismatch on non-concat dimension").
-        logw = lse(old_s[:, _LW:_LW + 1], new_s[:, _LW:_LW + 1])
-        denom = logw if barker else old_s[:, _LW:_LW + 1]
-        take_new = jnp.log(u) < (new_s[:, _LW:_LW + 1] - denom)
+        """Merge two spans. Scalars are 4-tuples (lb, lf, ls, lw) of wide
+        (B, L) arrays; u/fwd are (B, 1). Returns (vectors, scalars)."""
+        o_lb, o_lf, o_ls, o_lw = old_s
+        n_lb, n_lf, n_ls, n_lw = new_s
+        logw = lse(o_lw, n_lw)                      # (B, L)
+        denom = logw if barker else o_lw
+        take_new = jnp.log(u) < (n_lw[:, :1] - denom[:, :1])  # (B, 1)
         f3 = fwd[:, :, None]
         pick_bk = jnp.where(f3, old_v, new_v)
         pick_fw = jnp.where(f3, new_v, old_v)
@@ -182,10 +176,10 @@ def make_fused_transition(
         is_bk = ROW8 < 3
         is_fw = (ROW8 >= 3) & (ROW8 < 6)
         v = jnp.where(is_bk, pick_bk, jnp.where(is_fw, pick_fw, pick_sel))
-        s = pack_s(
-            jnp.where(fwd, old_s, new_s)[:, _LB:_LB + 1],
-            jnp.where(fwd, new_s, old_s)[:, _LF:_LF + 1],
-            jnp.where(take_new, new_s, old_s)[:, _LS:_LS + 1],
+        s = (
+            jnp.where(fwd, o_lb, n_lb),
+            jnp.where(fwd, n_lf, o_lf),
+            jnp.where(take_new, n_ls, o_ls),
             logw,
         )
         return v, s
@@ -203,8 +197,6 @@ def make_fused_transition(
         seed_mix = _hash32(seed_ref[0].astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9))
 
         def draw_uniform(ctr):
-            """One uniform per chain (returned (B, 1)); the counter is
-            carried full-width."""
             bits = _hash32(
                 seed_mix ^ _hash32(lane) ^ (ctr[:, :1] * jnp.uint32(0x27D4EB2F))
             )
@@ -219,51 +211,58 @@ def make_fused_transition(
         min_micro = minmu_ref[...]    # (B, 1) int32
         max_error = maxerr_ref[0]
 
-        joint0 = lp0 + kinetic(rho0, inv_mass)
-        point_v = pack8(theta0, rho0, grad0)  # (B, 8, D)
-        point_s = pack_s(joint0, joint0, lp0, joint0)  # (B, 4)
+        joint0 = lp0 + kinetic(rho0, inv_mass)   # (B, 1)
+        point_v = pack8(theta0, rho0, grad0)     # (B, 8, D)
 
-        # Integer per-lane state is carried at FULL LANE WIDTH (B, 128)
-        # with every lane equal: Mosaic's layout inference marks (B, 1)
-        # integer loop carries as lane-replicated and then cannot relayout
-        # computed updates back to the replicated form ("Invalid
-        # relayout"); full-width vectors have ordinary layouts. izero is
-        # derived from input data so it cannot constant-fold.
-        L = 128
+        # Integer AND float per-lane scalars are carried at FULL LANE
+        # WIDTH (B, L): Mosaic's layout inference marks narrow (B, 1)
+        # loop carries lane-replicated and the back-edge relayout of the
+        # computed update crashes (`limits[i] <= dim(i) (B/8 vs. 1)`).
         min_micro_w = jnp.broadcast_to(min_micro, (B, L))
-        izero = min_micro_w * 0
+        # runtime zeros via minimum(data, 0), NOT data*0: Mosaic's
+        # canonicalizer folds x*0 / x-x to splat constants whose carry
+        # layout is fully replicated ({*,*}); the body computes
+        # lane-replicated ({0,*}) values and the loop back-edge relayout
+        # {0,*} -> {*,*} is invalid (un-replication), which is the
+        # real error behind the unlocated `limits[i] <= dim(i)` abort.
+        # minimum(x, 0) cannot fold (min_micro's positivity is data
+        # knowledge), so every carry keeps a lane-replicated layout that
+        # the body's outputs can always relayout to.
+        izero = jnp.minimum(min_micro_w, 0)
         ctr0 = (izero + 1).astype(jnp.uint32)
         u0, ctr0 = draw_uniform(ctr0)
-        # direction and done flags are carried as int32: Mosaic's select
-        # lowering crashes on boolean-operand select_n
         fwd0 = (u0 < 0.5).astype(jnp.int32) + izero
-        dt0 = jnp.where(fwd0[:, :1] != 0, step, -step)
+        dt0 = jnp.where(fwd0[:, :1] != 0, step, -step)   # (B, 1)
         start = pack3(theta0, rho0, grad0)  # (B, 3, D)
 
-        fzero = lp0 * 0  # (B, 1) f32, materialized layout
+        fzero = izero.astype(jnp.float32)  # (B, L) runtime zero
+        wjoint0 = fzero + joint0
         init = dict(
             done=izero,
             depth=izero + 1,
             out_depth=izero + (MD + 1),
-            acc_v=point_v, acc_s=point_s,
+            acc_v=point_v,
+            acc_lb=wjoint0, acc_lf=wjoint0, acc_ls=fzero + lp0,
+            acc_lw=wjoint0,
             fwd_dir=fwd0,
             leaf_idx=izero,
             n_leaves=izero + 1,
-            ms=start, ms_joint=joint0,
+            ms=start, ms_joint=wjoint0,
             halvings=izero,
-            dt=dt0,
+            dt=fzero + dt0,
             steps_total=min_micro_w,
             phase=izero,  # 0 fwd, 1 rev
             rng_ctr=ctr0,
             cur=start,
-            fwd=start, fwd_lp=lp0, fwd_joint=joint0,
+            fwd=start, fwd_lp=fzero + lp0, fwd_joint=wjoint0,
             n_grads=izero + 1,
         )
-        # merge stack as per-slot fields: 4D arrays hit Mosaic aborts, and
-        # all slot indices are static anyway (level-indexed stack)
+        # merge stack as per-slot fields, scalars wide
+        z3 = fzero[:, :1][:, :, None]  # (B, 1, 1) runtime zero
         for _i in range(MD):
-            init[f"stk{_i}_v"] = point_v * jnp.float32(0.0)
-            init[f"stk{_i}_s"] = point_s * jnp.float32(0.0)
+            init[f"stk{_i}_v"] = point_v * z3
+            for nm in ("lb", "lf", "ls", "lw"):
+                init[f"stk{_i}_{nm}"] = fzero
         keys = sorted(init.keys())
 
         def cond(carry):
@@ -273,9 +272,13 @@ def make_fused_transition(
         def body(carry):
             s = dict(zip(keys, carry))
             live_w = s["done"] == 0          # (B, L) bool
-            live = live_w[:, :1]             # (B, 1) view for float math
+            live = live_w[:, :1]             # (B, 1)
             fwd_dir = s["fwd_dir"][:, :1] != 0
             ctr = s["rng_ctr"]
+            wide = lambda x: jnp.broadcast_to(x, (B, L))
+            dt1 = s["dt"][:, :1]
+            ms_joint1 = s["ms_joint"][:, :1]
+            acc_s = (s["acc_lb"], s["acc_lf"], s["acc_ls"], s["acc_lw"])
 
             # ---- integrate the attempt (masked fori over the tile max) ----
             n_eff_w = _iwhere(live_w, s["steps_total"], s["steps_total"] * 0)
@@ -285,9 +288,9 @@ def make_fused_transition(
             def istep(i, c):
                 th, rh, gr, lp = c
                 active = i < n_eff  # (B, 1)
-                half = 0.5 * s["dt"]
+                half = 0.5 * dt1
                 rh_h = rh + half * gr
-                th_n = th + s["dt"] * inv_mass * rh_h
+                th_n = th + dt1 * inv_mass * rh_h
                 lp_n, gr_n = batched_vg(th_n, *model_consts)
                 rh_n = rh_h + half * gr_n
                 return (
@@ -300,15 +303,15 @@ def make_fused_transition(
             th, rh, gr, lp_n = jax.lax.fori_loop(
                 0, max_n, istep,
                 (s["cur"][:, 0], s["cur"][:, 1], s["cur"][:, 2],
-                 fzero - jnp.float32(jnp.inf)),
+                 lp0 * 0 - jnp.float32(jnp.inf)),
             )
             cur_n = pack3(th, rh, gr)
             n_grads = s["n_grads"] + n_eff
-            joint_n = lp_n + kinetic(rh, inv_mass)
+            joint_n = lp_n + kinetic(rh, inv_mass)   # (B, 1)
             in_fwd = s["phase"][:, :1] == 0
 
             # ---- forward attempt completed ----
-            f_err = jnp.abs(s["ms_joint"] - joint_n)
+            f_err = jnp.abs(ms_joint1 - joint_n)
             f_ok = f_err <= max_error
             f_done = live & in_fwd
             need_rev = s["steps_total"][:, :1] >= 2 * min_micro
@@ -320,7 +323,7 @@ def make_fused_transition(
 
             # ---- reversibility level completed ----
             r_done = live & ~in_fwd
-            r_err = jnp.abs(joint_n - s["fwd_joint"])
+            r_err = jnp.abs(joint_n - s["fwd_joint"][:, :1])
             r_within = r_err <= max_error
             leaf_fail = leaf_fail | (r_done & r_within)
             more_rev = s["steps_total"][:, :1] >= 2 * min_micro
@@ -329,16 +332,13 @@ def make_fused_transition(
 
             set_fwd = f_done & f_ok
             fwd = jnp.where(set_fwd[:, :, None], cur_n, s["fwd"])
-            fwd_lp = jnp.where(set_fwd, lp_n, s["fwd_lp"])
-            fwd_joint = jnp.where(set_fwd, joint_n, s["fwd_joint"])
+            fwd_lp = jnp.where(set_fwd, wide(lp_n), s["fwd_lp"])
+            fwd_joint = jnp.where(set_fwd, wide(joint_n), s["fwd_joint"])
 
             # ---- merge cascade (level-indexed static slots) ----
             leaf_v = pack8(fwd[:, 0], fwd[:, 1], fwd[:, 2])
-            leaf_s = pack_s(fwd_joint, fwd_joint, fwd_lp, fwd_joint)
+            leaf_s = (fwd_joint, fwd_joint, fwd_lp, fwd_joint)
             lp1 = s["leaf_idx"][:, :1] + 1
-            # ctz(lp1) as unrolled low-bit tests (n_merges <= MD): count i
-            # with the low i bits of lp1 all zero. Keeps everything 2D —
-            # the 3D popcount formulation hit a Mosaic compiler abort.
             n_merges = lp1 * 0
             for i in range(1, MD + 1):
                 n_merges = n_merges + (
@@ -350,13 +350,14 @@ def make_fused_transition(
             for i in range(MD):
                 do = leaf_ok & (i < n_merges) & ok
                 top_v = s[f"stk{i}_v"]
-                top_s = s[f"stk{i}_s"]
+                top_s = (s[f"stk{i}_lb"], s[f"stk{i}_lf"],
+                         s[f"stk{i}_ls"], s[f"stk{i}_lw"])
                 ut = uturn(top_v, cur_v, fwd_dir, inv_mass)
                 u, ctr = draw_uniform(ctr)
                 m_v, m_s = combine(u, top_v, top_s,
                                    cur_v, cur_s, fwd_dir, barker=True)
                 cur_v = jnp.where(do[:, :, None], m_v, cur_v)
-                cur_s = jnp.where(do, m_s, cur_s)
+                cur_s = tuple(jnp.where(do, m, c) for m, c in zip(m_s, cur_s))
                 ok = ok & ~(do & ut)
             sub_uturn = leaf_ok & ~ok
             leaf_ok = leaf_ok & ok
@@ -370,23 +371,26 @@ def make_fused_transition(
             for i in range(MD):
                 wm = push & (n_merges == i)
                 stacks[f"stk{i}_v"] = jnp.where(wm[:, :, None], cur_v, s[f"stk{i}_v"])
-                stacks[f"stk{i}_s"] = jnp.where(wm, cur_s, s[f"stk{i}_s"])
+                for nm, cs in zip(("lb", "lf", "ls", "lw"), cur_s):
+                    stacks[f"stk{i}_{nm}"] = jnp.where(wm, cs, s[f"stk{i}_{nm}"])
 
             # ---- top-level Metropolis + combined U-turn ----
             ut_top = uturn(s["acc_v"], cur_v, fwd_dir, inv_mass)
             u, ctr = draw_uniform(ctr)
-            comb_v, comb_s = combine(u, s["acc_v"],
-                                     s["acc_s"], cur_v, cur_s, fwd_dir,
-                                     barker=False)
+            comb_v, comb_s = combine(u, s["acc_v"], acc_s,
+                                     cur_v, cur_s, fwd_dir, barker=False)
             acc_v = jnp.where(subtree_done[:, :, None], comb_v, s["acc_v"])
-            acc_s = jnp.where(subtree_done, comb_s, s["acc_s"])
+            acc_s_new = tuple(
+                jnp.where(subtree_done, m, c) for m, c in zip(comb_s, acc_s)
+            )
             end_uturn = subtree_done & ut_top
             new_depth = s["depth"] + 1
             deeper = subtree_done & ~ut_top & (new_depth[:, :1] <= MD)
             exhausted = subtree_done & ~ut_top & (new_depth[:, :1] > MD)
 
             fail = leaf_fail | sub_uturn
-            done = _iwhere(fail | end_uturn | exhausted, jnp.ones_like(s["done"]), s["done"])
+            done = _iwhere(fail | end_uturn | exhausted,
+                           jnp.ones_like(s["done"]), s["done"])
             out_depth = _iwhere(fail | end_uturn, s["depth"],
                                 _iwhere(exhausted, jnp.full_like(s["out_depth"], MD + 1),
                                         s["out_depth"]))
@@ -396,33 +400,33 @@ def make_fused_transition(
             new_dir_b = new_dir[:, :1] != 0
             depth = _iwhere(deeper, new_depth, s["depth"])
             n_leaves = _iwhere(deeper, jnp.left_shift(jnp.ones_like(new_depth), new_depth - 1),
-                              s["n_leaves"])
+                               s["n_leaves"])
             leaf_idx = _iwhere(deeper, jnp.zeros_like(new_leaf_idx), new_leaf_idx)
             leaf_idx = _iwhere(leaf_ok | deeper, leaf_idx, s["leaf_idx"])
 
             acc_end = jnp.where(new_dir_b[:, :, None], acc_v[:, 3:6], acc_v[:, 0:3])
-            acc_end_joint = jnp.where(new_dir_b, acc_s[:, _LF:_LF + 1],
-                                      acc_s[:, _LB:_LB + 1])
+            acc_end_joint = jnp.where(new_dir_b, acc_s_new[1][:, :1],
+                                      acc_s_new[0][:, :1])
             next_leaf = push
             ms = jnp.where(deeper[:, :, None], acc_end,
                            jnp.where(next_leaf[:, :, None], fwd, s["ms"]))
-            ms_joint = jnp.where(deeper, acc_end_joint,
+            ms_joint = jnp.where(deeper, wide(acc_end_joint),
                                  jnp.where(next_leaf, fwd_joint, s["ms_joint"]))
 
             start_macro = deeper | next_leaf
-            dt_base = jnp.where(new_dir_b, step, -step)
+            dt_base = jnp.where(new_dir_b, step, -step)  # (B, 1)
             halvings = _iwhere(start_macro, jnp.zeros_like(s["halvings"]),
-                              _iwhere(restart, s["halvings"] + 1,
-                                      s["halvings"]))
+                               _iwhere(restart, s["halvings"] + 1,
+                                       s["halvings"]))
             phase = _iwhere(start_macro | restart, jnp.zeros_like(s["phase"]),
-                           _iwhere(start_rev | next_rev,
-                                   jnp.ones_like(s["phase"]), s["phase"]))
+                            _iwhere(start_rev | next_rev,
+                                    jnp.ones_like(s["phase"]), s["phase"]))
             steps_total = _iwhere(
                 start_macro, min_micro,
                 _iwhere(restart, s["steps_total"] * 2,
                         _iwhere(start_rev | next_rev,
                                 s["steps_total"] // 2, s["steps_total"])))
-            dt = jnp.where(start_macro, dt_base,
+            dt = jnp.where(start_macro, wide(dt_base),
                            jnp.where(restart, s["dt"] * 0.5,
                                      jnp.where(start_rev | next_rev,
                                                s["dt"] * 2.0, s["dt"])))
@@ -433,20 +437,19 @@ def make_fused_transition(
                             jnp.where((start_macro | restart)[:, :, None], ms,
                                       cur_n))
 
-            # frozen lanes keep all state (the masks above already guard,
-            # but done lanes must not advance n_grads)
             n_grads = _iwhere(live, n_grads, s["n_grads"])
 
             new = dict(
                 done=done, depth=depth, out_depth=out_depth,
-                acc_v=acc_v, acc_s=acc_s, fwd_dir=new_dir, leaf_idx=leaf_idx,
+                acc_v=acc_v,
+                acc_lb=acc_s_new[0], acc_lf=acc_s_new[1],
+                acc_ls=acc_s_new[2], acc_lw=acc_s_new[3],
+                fwd_dir=new_dir, leaf_idx=leaf_idx,
                 n_leaves=n_leaves, **stacks,
                 ms=ms, ms_joint=ms_joint, halvings=halvings, dt=dt,
                 steps_total=steps_total, phase=phase, rng_ctr=ctr, cur=cur,
                 fwd=fwd, fwd_lp=fwd_lp, fwd_joint=fwd_joint, n_grads=n_grads,
             )
-            # freeze every field for non-live lanes (integer fields via
-            # arithmetic blends — see _iwhere)
             out = []
             for k in keys:
                 old_x, new_x = s[k], new[k]
@@ -461,7 +464,7 @@ def make_fused_transition(
         fs = dict(zip(keys, final))
         theta_out[...] = fs["acc_v"][:, _TS]
         grad_out[...] = fs["acc_v"][:, _GS]
-        lp_out[...] = fs["acc_s"][:, _LS:_LS + 1]
+        lp_out[...] = fs["acc_ls"][:, :1]
         depth_out[...] = fs["out_depth"][:, :1]
         ngrads_out[...] = fs["n_grads"][:, :1]
 
@@ -501,6 +504,8 @@ def make_fused_transition(
                 jax.ShapeDtypeStruct((cp, 1), jnp.int32),
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
         )(
             jnp.asarray(seed, jnp.int32).reshape(1),
             theta, rho,

@@ -119,9 +119,29 @@ def mcse_device(draws: Array) -> Array:
     return sd / jnp.sqrt(effective_sample_size_device(draws))
 
 
+def effective_sample_size_device_chunked(draws: Array, chunk: int = 64) -> Array:
+    """Geyer ESS over dimension chunks for very wide posteriors.
+
+    The full-width FFT intermediate is (C, 2*pad(N), D) complex64 — at
+    4096 chains x 400 draws x 1003 dims that is ~34 GB and OOMs the chip
+    (the round-1 blocker for the stochastic-volatility benchmark,
+    BASELINE.json configs[4]). Chunking the dimension axis bounds the
+    intermediate at (C, 2*pad(N), chunk) while the draw cube itself stays
+    device-resident; one jitted program is reused for every full chunk.
+    """
+    c, n, d = draws.shape
+    ess_fn = jax.jit(effective_sample_size_device)
+    outs = []
+    for lo in range(0, d, chunk):
+        hi = min(lo + chunk, d)
+        outs.append(ess_fn(jax.lax.slice_in_dim(draws, lo, hi, axis=2)))
+    return jnp.concatenate(outs)
+
+
 __all__ = [
     "autocovariance_device",
     "effective_sample_size_device",
+    "effective_sample_size_device_chunked",
     "mcse_device",
     "r_hat_device",
 ]
