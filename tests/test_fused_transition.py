@@ -7,7 +7,10 @@ import numpy as np
 import pytest
 
 from walnuts_tpu.models.kernels import ill_conditioned_normal_vg, std_normal_vg
-from walnuts_tpu.ops.fused_transition import make_fused_transition
+from walnuts_tpu.ops.fused_transition import (
+    make_fused_sample_block,
+    make_fused_transition,
+)
 
 
 def run_fused(vgf, dim, step_val, min_micro, iters=300, chains=64, seed=3,
@@ -64,6 +67,42 @@ class TestFusedTransition:
         d = draws[100:].reshape(-1, 4)
         true_var = np.arange(1.0, 5.0) ** 2
         assert np.all(np.abs(d.var(0) / true_var - 1.0) < 0.25)
+
+    def test_sample_block_moments_and_counts(self):
+        """The multi-draw sampling-block kernel targets the same
+        distribution; momenta are pre-drawn and streamed in."""
+        vg, dim, consts = std_normal_vg(4)
+        N, chains = 120, 64
+        fsb = make_fused_sample_block(
+            vg, dim, max_depth=5, max_step_halvings=5, num_draws=N,
+            block_b=32, interpret=True, consts=consts,
+        )
+        key = jax.random.key(11)
+        theta = jax.random.normal(jax.random.fold_in(key, 1), (chains, dim),
+                                  jnp.float32)
+        lp0, g0 = vg(theta)
+        step = jnp.full((chains,), 0.5, jnp.float32)
+        inv_mass = jnp.ones((chains, dim), jnp.float32)
+        mm = jnp.ones((chains,), jnp.int32)
+        rho = jax.random.normal(jax.random.fold_in(key, 2),
+                                (N, chains, dim), jnp.float32)
+        draws, logps, th_f, g_f, lp_f, ng = fsb(
+            9, theta, lp0, g0, rho, step, inv_mass, mm, 0.5)
+        d = np.asarray(draws)[20:].reshape(-1, dim)
+        assert np.abs(d.mean(0)).max() < 0.1
+        assert np.abs(d.var(0) - 1.0).max() < 0.12
+        # final state consistency: last draw == carried position, and the
+        # carried log density matches the model
+        np.testing.assert_array_equal(np.asarray(draws)[-1], np.asarray(th_f))
+        lp_model, g_model = vg(th_f)
+        np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_model),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_model),
+                                   rtol=1e-5)
+        # the cached-start accounting: per-draw grads exclude the free
+        # initial evaluation, so the mean is strictly positive and
+        # consistent with the single-transition kernel minus one
+        assert float(np.asarray(ng).mean()) / N > 1.0
 
     def test_matches_xla_transition_statistics(self):
         """Same target, same tuning: the fused kernel's depth and
