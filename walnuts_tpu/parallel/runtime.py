@@ -362,6 +362,18 @@ def run_sampling(
 
     rhat_fn = jax.jit(_sampling_rhat)
 
+    # device-resident collection writes blocks into ONE preallocated cube
+    # in place (donated dynamic_update_slice). Appending blocks and
+    # concatenating at the end doubles peak memory — at the 1003-dim x
+    # 4096-chain flagship the 6.6 GB cube duplicated is what killed the
+    # TPU worker in round 2.
+    dev_draws_buf = dev_logps_buf = None
+    if device_draws:
+        @partial(jax.jit, donate_argnums=(0,))
+        def _write_block(buf, block, start):
+            idx = (start,) + (0,) * (block.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, block, idx)
+
     info = info or RunInfo()
     draws_host: List[np.ndarray] = []
     logps_host: List[np.ndarray] = []
@@ -381,8 +393,14 @@ def run_sampling(
                 state, (theta, logp) = run_block(state, params, n)
             it += n
             if device_draws:
-                draws_host.append(theta)
-                logps_host.append(logp)
+                if dev_draws_buf is None:
+                    shape = (sampling_cfg.max_iter,) + theta.shape[1:]
+                    dev_draws_buf = jnp.zeros(shape, theta.dtype)
+                    dev_logps_buf = jnp.zeros(
+                        (sampling_cfg.max_iter,) + logp.shape[1:], logp.dtype
+                    )
+                dev_draws_buf = _write_block(dev_draws_buf, theta, it - n)
+                dev_logps_buf = _write_block(dev_logps_buf, logp, it - n)
             else:
                 draws_host.append(np.asarray(theta))
                 logps_host.append(np.asarray(logp))
@@ -408,9 +426,17 @@ def run_sampling(
     info.n_halve_fail = np.asarray(state.fails.n_halve_fail)
     info.n_nonfinite = np.asarray(state.fails.n_nonfinite)
     info.n_depth_exhausted = np.asarray(state.fails.n_depth_exhausted)
-    cat = jnp.concatenate if device_draws else np.concatenate
-    draws = cat(draws_host, axis=0) if draws_host else np.empty((0,))
-    logps = cat(logps_host, axis=0) if logps_host else np.empty((0,))
+    if device_draws:
+        if dev_draws_buf is None:
+            draws = logps = np.empty((0,))
+        elif it == sampling_cfg.max_iter:
+            draws, logps = dev_draws_buf, dev_logps_buf
+        else:  # early stop / interrupt: return only the filled prefix
+            draws = dev_draws_buf[:it]
+            logps = dev_logps_buf[:it]
+    else:
+        draws = np.concatenate(draws_host, axis=0) if draws_host else np.empty((0,))
+        logps = np.concatenate(logps_host, axis=0) if logps_host else np.empty((0,))
     if permutation is not None:
         # restore the caller's chain order
         inverse = np.argsort(permutation)
