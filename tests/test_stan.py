@@ -93,6 +93,40 @@ class TestWalnutsStan:
         assert out[0].stepsize > 0
         assert out[0].inv_metric.shape == (3,)
 
+    def test_abi_model_eight_schools_parity(self):
+        """A nontrivial BridgeStan-ABI model (csrc/abi_models.cpp eight
+        schools, matching targets.eight_schools exactly): the FFI path
+        must produce the SAME gradient counts and statistically matching
+        draws as the JAX-autodiff path with the same seed."""
+        from walnuts_tpu.api import walnuts
+        from walnuts_tpu.models import eight_schools
+        from walnuts_tpu.models.stan import walnuts_stan
+
+        so = os.path.join(CSRC, "libabi_eight_schools.so")
+        src = os.path.join(CSRC, "abi_models.cpp")
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.check_call([
+                "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                "-DABI_MODEL_EIGHT_SCHOOLS", "-o", so, src,
+            ])
+
+        kw = dict(seed=31, num_chains=2,
+                  min_warmup_iter=30, max_warmup_iter=30,
+                  min_sampling_iter=40, max_sampling_iter=40,
+                  return_info=True)
+        outs_ffi, info_ffi = walnuts_stan(so, **kw)
+        logp, dim = eight_schools()
+        outs_jax, info_jax = walnuts(logp, num_params=dim, **kw)
+        np.testing.assert_array_equal(info_ffi.n_grads, info_jax.n_grads)
+        assert outs_ffi[0].parameters[:2] == ["mu", "tau"]
+        assert (outs_ffi[0]["tau"] > 0).all()
+        # identical seeds + identical densities: the unconstrained chains
+        # agree up to float accumulation differences
+        for o_f, o_j in zip(outs_ffi, outs_jax):
+            mu_ffi = o_f["mu"]
+            mu_jax = np.asarray(o_j)[:, 0]
+            np.testing.assert_allclose(mu_ffi, mu_jax, rtol=1e-3, atol=1e-3)
+
     def test_iteration_contract(self):
         from walnuts_tpu.models.stan import walnuts_stan
 

@@ -126,7 +126,14 @@ def walnuts(
 
     Returns a list of per-chain draw arrays (``shape (draws, dim)``), each
     carrying ``.warmup`` with the adapted step size, optionally the adapted
-    inverse metric, and optionally the warmup draws.
+    inverse metric, and optionally the warmup draws (+ their log
+    densities).
+
+    Interrupts: Ctrl-C is honored BETWEEN jitted blocks (every
+    ``block_size`` iterations), not mid-iteration — a compiled block runs
+    to completion before the interrupt lands. Everything adapted/sampled
+    so far is returned, like the reference's SIGINT path
+    (interrupts.hpp:34-102); lower ``block_size`` for finer granularity.
     """
     dtype = dtype or _default_dtype()
     if num_params is None:

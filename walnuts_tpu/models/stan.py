@@ -312,7 +312,11 @@ def walnuts_stan(
     kwargs.setdefault("num_params", dim)
     kwargs["seed"] = seed
     save_warmup = kwargs.get("save_warmup", False)
+    return_info = kwargs.get("return_info", False)
     outputs = walnuts(logp_fn, **kwargs)
+    info = None
+    if return_info:
+        outputs, info = outputs
 
     names = bridge.param_names(include_tp, include_gq)
     results: List[StanOutput] = []
@@ -335,6 +339,8 @@ def walnuts_stan(
             )
         )
     bridge.close()
+    if return_info:
+        return results, info
     return results
 
 
