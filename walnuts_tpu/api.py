@@ -320,18 +320,30 @@ def walnuts(
 
 
 def walnuts_pyfunc(
-    logp: Callable[[np.ndarray], Tuple[float, np.ndarray]],
+    logp,
     **kwargs,
 ) -> List[WalnutsOutputArray]:
-    """Compatibility shim for the reference's plain-Python-callable path.
+    """Compatibility shim for the reference's host-callback model paths.
 
-    Accepts a function returning ``(logp, grad)`` on NumPy arrays — the
-    reference trampoline signature (pyfunc.py:32-42) — and bridges it into
-    the jitted sampler with ``jax.pure_callback``. One host callback per
-    gradient evaluation: slow (as the reference's ctypes trampoline is,
-    pyfunc.py:205 comment) but exact. Prefer a JAX-traceable density with
-    :func:`walnuts`.
+    Accepts, like the reference (pyfunc.py:215-227):
+
+    - a plain Python callable ``theta -> (logp, grad)`` on NumPy arrays
+      (the trampoline signature, pyfunc.py:32-42);
+    - anything with a ``.ctypes`` attribute — e.g. a numba ``@cfunc``
+      compiled to the nutpie ``RawLogpFunc`` signature ``int(size_t n,
+      const double* theta, double* grad, double* lp, void* data)``
+      (walnutpy.cpp:127-132) — called directly, no Python in the loop;
+    - a ``(ctypes_cfunc, data)`` tuple with the same C signature, where
+      ``data`` (a ctypes object or None) is passed through as the last
+      argument.
+
+    All three bridge into the jitted sampler with ``jax.pure_callback``;
+    a raising callable or a nonzero C return code becomes ``logp=-inf,
+    grad=0`` (the NoExceptLogpGrad trap, util.hpp:336-346). Prefer a
+    JAX-traceable density with :func:`walnuts`.
     """
+    import ctypes
+
     num_params = kwargs.get("num_params")
     inits = kwargs.get("inits")
     if num_params is None:
@@ -341,19 +353,47 @@ def walnuts_pyfunc(
         num_params = shape[1] if len(shape) == 2 else shape[0]
         kwargs["num_params"] = num_params
 
-    def host_logp(theta_np: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        try:
-            lp, grad = logp(np.asarray(theta_np, dtype=np.float64))
-            return (
-                np.asarray(lp, dtype=np.float64),
-                np.asarray(grad, dtype=np.float64),
+    cfunc = data_ref = None
+    if hasattr(logp, "ctypes"):  # numba @cfunc fast path (pyfunc.py:215-217)
+        cfunc = logp.ctypes
+    elif isinstance(logp, tuple):  # (ctypes_cfunc, data) (pyfunc.py:219-221)
+        cfunc, data = logp
+        data_ref = ctypes.byref(data) if data is not None else None
+
+    if cfunc is not None:
+        c_double_p = ctypes.POINTER(ctypes.c_double)
+
+        def host_logp(theta_np: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+            theta64 = np.ascontiguousarray(theta_np, dtype=np.float64)
+            grad = np.zeros_like(theta64)
+            lp = ctypes.c_double()
+            rc = cfunc(
+                theta64.size,
+                theta64.ctypes.data_as(c_double_p),
+                grad.ctypes.data_as(c_double_p),
+                ctypes.byref(lp),
+                data_ref,
             )
-        except Exception:
-            # the NoExceptLogpGrad trap (util.hpp:336-346)
-            return (
-                np.asarray(-np.inf, dtype=np.float64),
-                np.zeros(theta_np.shape, dtype=np.float64),
-            )
+            if rc != 0:  # error code -> rejected proposal
+                return (
+                    np.asarray(-np.inf, dtype=np.float64),
+                    np.zeros(theta_np.shape, dtype=np.float64),
+                )
+            return np.asarray(lp.value, dtype=np.float64), grad
+    else:
+        def host_logp(theta_np: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+            try:
+                lp, grad = logp(np.asarray(theta_np, dtype=np.float64))
+                return (
+                    np.asarray(lp, dtype=np.float64),
+                    np.asarray(grad, dtype=np.float64),
+                )
+            except Exception:
+                # the NoExceptLogpGrad trap (util.hpp:336-346)
+                return (
+                    np.asarray(-np.inf, dtype=np.float64),
+                    np.zeros(theta_np.shape, dtype=np.float64),
+                )
 
     def traced_logp(theta: Array) -> Array:
         lp, _ = jax.pure_callback(
