@@ -1,0 +1,125 @@
+"""Checkpoint/resume tests: a resumed run must reproduce the exact draws
+an uninterrupted run produces (the state includes the PRNG keys), and
+checkpointing must not perturb the run that writes it.
+
+The reference has no mid-run checkpointing (it only warm-starts,
+handlers.hpp:91-100); this subsystem is a TPU-native extension, so the
+oracle is the framework's own uninterrupted run.
+"""
+
+import numpy as np
+import pytest
+
+import walnuts_tpu.api as api_mod
+from walnuts_tpu import walnuts
+from walnuts_tpu.models import std_normal
+
+LOGP, DIM = std_normal(3)
+
+
+def run(tmp=None, **kwargs):
+    defaults = dict(
+        num_params=DIM,
+        num_chains=3,
+        seed=77,
+        min_warmup_iter=12,
+        max_warmup_iter=12,
+        min_sampling_iter=12,
+        max_sampling_iter=12,
+        block_size=4,
+        save_warmup=True,
+        save_inv_metric=True,
+    )
+    defaults.update(kwargs)
+    if tmp is not None:
+        defaults["checkpoint_dir"] = str(tmp)
+    return walnuts(LOGP, **defaults)
+
+
+class TestCheckpoint:
+    def test_checkpointing_does_not_perturb_the_run(self, tmp_path):
+        plain = run()
+        ck = run(tmp_path / "ck")
+        for a, b in zip(plain, ck):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(
+                a.warmup.warmup_draws, b.warmup.warmup_draws
+            )
+
+    def test_completed_run_resumes_to_identical_output(self, tmp_path):
+        first = run(tmp_path / "ck")
+        # second call finds the completed checkpoint: warmup is skipped,
+        # all sampling blocks come from the store
+        second = run(tmp_path / "ck")
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert a.warmup.stepsize == b.warmup.stepsize
+            np.testing.assert_array_equal(
+                a.warmup.inv_metric, b.warmup.inv_metric
+            )
+
+    @pytest.mark.parametrize("every", [1, 2])
+    def test_crash_mid_sampling_resumes_bitwise(
+        self, tmp_path, monkeypatch, every
+    ):
+        plain = run()
+
+        real_run_sampling = api_mod.run_sampling
+        calls = {"n": 0}
+
+        def crashing_run_sampling(*args, **kwargs):
+            calls["n"] += 1
+            # let the run finish two blocks (8 of 12 iterations), then die
+            cfg = args[3]
+            short = cfg.__class__(
+                **{**cfg.__dict__, "min_iter": 8, "max_iter": 8}
+            )
+            real_run_sampling(*(args[:3] + (short,)), **kwargs)
+            raise RuntimeError("simulated preemption")
+
+        monkeypatch.setattr(api_mod, "run_sampling", crashing_run_sampling)
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            run(tmp_path / "ck", checkpoint_every=every)
+        monkeypatch.setattr(api_mod, "run_sampling", real_run_sampling)
+
+        resumed = run(tmp_path / "ck", checkpoint_every=every)
+        assert calls["n"] == 1
+        for a, b in zip(plain, resumed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(
+                a.warmup.warmup_draws, b.warmup.warmup_draws
+            )
+
+    def test_crash_mid_warmup_resumes_bitwise(self, tmp_path, monkeypatch):
+        plain = run()
+
+        real_run_warmup = api_mod.run_warmup
+
+        def crashing_run_warmup(logp_grad, state, warmup_cfg, *args, **kwargs):
+            short = warmup_cfg.__class__(
+                **{**warmup_cfg.__dict__, "min_iter": 8, "max_iter": 8}
+            )
+            real_run_warmup(logp_grad, state, short, *args, **kwargs)
+            raise RuntimeError("simulated preemption")
+
+        monkeypatch.setattr(api_mod, "run_warmup", crashing_run_warmup)
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            run(tmp_path / "ck")
+        monkeypatch.setattr(api_mod, "run_warmup", real_run_warmup)
+
+        resumed = run(tmp_path / "ck")
+        for a, b in zip(plain, resumed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(
+                a.warmup.warmup_draws, b.warmup.warmup_draws
+            )
+
+    def test_resume_false_starts_over(self, tmp_path):
+        first = run(tmp_path / "ck")
+        fresh = run(tmp_path / "ck", resume=False, seed=78)
+        # different seed: must NOT replay the stored run
+        assert not np.array_equal(np.asarray(first[0]), np.asarray(fresh[0]))
+
+    def test_checkpoint_incompatible_with_chain_groups(self, tmp_path):
+        with pytest.raises(ValueError):
+            run(tmp_path / "ck", num_chains=4, chain_groups=2)

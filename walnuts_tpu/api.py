@@ -83,6 +83,9 @@ def walnuts(
     integrator=None,
     bf16_ends: bool = False,
     flatten: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -134,6 +137,15 @@ def walnuts(
     to completion before the interrupt lands. Everything adapted/sampled
     so far is returned, like the reference's SIGINT path
     (interrupts.hpp:34-102); lower ``block_size`` for finer granularity.
+
+    Checkpointing (a TPU-native extension; the reference only
+    warm-starts, handlers.hpp:91-100): with ``checkpoint_dir`` set, the
+    full run state is persisted with orbax every ``checkpoint_every``
+    blocks, and a rerun with the same arguments ``resume``\\ s from the
+    latest checkpoint — mid-warmup or mid-sampling — reproducing the
+    exact draws an uninterrupted run would have produced (the PRNG keys
+    are part of the state). Incompatible with ``chain_groups``/
+    ``flatten``. Pass ``resume=False`` to start over.
     """
     dtype = dtype or _default_dtype()
     if num_params is None:
@@ -274,32 +286,85 @@ def walnuts(
     profiler_ctx = (
         jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
     )
+    ckpt = None
+    resume_meta = None
+    if checkpoint_dir is not None:
+        from walnuts_tpu.parallel.checkpoint import BlockCheckpointer
+
+        ckpt = BlockCheckpointer(checkpoint_dir, every=checkpoint_every)
+        if resume:
+            resume_meta = ckpt.latest()
+        if resume_meta is None:
+            ckpt.reset()  # drop stale blocks from a previous run
+
     with profiler_ctx:
-        # --- warmup ---
+        # --- warmup (the state built here also serves as the restore
+        # template when resuming from a checkpoint) ---
         wstate = jax.vmap(
             lambda k, t, m, s: init_warmup_state(k, t, m, s, warmup_cfg, sampling_cfg)
         )(chain_keys, theta0, init_mass, step0)
-        wstate, warmup_draws, warmup_logps, info = run_warmup(
-            logp_grad, wstate, warmup_cfg, sampling_cfg,
-            save_warmup=save_warmup, mesh=mesh, progress=progress,
-            integrator=integrator, bf16_ends=bf16_ends,
-        )
 
-        # --- freeze and sample (api.hpp:61-67) ---
-        params = jax.vmap(freeze_params)(wstate)
+        start_sampling = 0
+        warmup_draws = warmup_logps = None
+        if resume_meta is not None and resume_meta["phase"] == "sampling":
+            # killed mid-sampling: skip warmup, restore frozen state
+            params_t = jax.vmap(freeze_params)(wstate)
+            sstate_t = jax.vmap(init_sample_state)(wstate)
+            sstate, params, info = ckpt.restore(sstate_t, params_t)
+            start_sampling = resume_meta["it"]
+            if save_warmup:
+                warmup_draws, warmup_logps = ckpt.saved_blocks(
+                    "warmup", info.warmup_iters + 1
+                )
+        else:
+            start_warmup = 0
+            if resume_meta is not None and resume_meta["phase"] == "warmup":
+                wstate, _, _ = ckpt.restore(wstate)
+                start_warmup = resume_meta["it"]
+            wstate, warmup_draws, warmup_logps, info = run_warmup(
+                logp_grad, wstate, warmup_cfg, sampling_cfg,
+                save_warmup=save_warmup, mesh=mesh, progress=progress,
+                integrator=integrator, bf16_ends=bf16_ends,
+                checkpoint=ckpt, start_it=start_warmup,
+            )
+            if ckpt is not None and start_warmup and save_warmup:
+                prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)
+                if prev_d is not None:
+                    if warmup_draws is not None:
+                        warmup_draws = np.concatenate([prev_d, warmup_draws])
+                        warmup_logps = np.concatenate([prev_l, warmup_logps])
+                    else:
+                        warmup_draws, warmup_logps = prev_d, prev_l
+            params = jax.vmap(freeze_params)(wstate)
+            sstate = jax.vmap(init_sample_state)(wstate) if not info.interrupted else None
+            if ckpt is not None and not info.interrupted:
+                # durable phase transition: a crash before the first
+                # sampling block resumes here, not back in warmup
+                ckpt.save("sampling", 0, sstate, info, params=params)
+
         if info.interrupted:
             # Ctrl-C during warmup: stop the run; report the adaptation
             # reached so far with zero sampling draws.
             draws = np.zeros((0, num_chains, num_params))
         else:
-            sstate = jax.vmap(init_sample_state)(wstate)
             sstate, draws, _logps, info = run_sampling(
                 logp_grad, sstate, params, sampling_cfg,
                 mesh=mesh, info=info, progress=progress, on_r_hat=on_r_hat,
                 chain_groups=chain_groups, integrator=integrator,
                 bf16_ends=bf16_ends,
                 flatten=flatten and chain_groups == 1,
+                checkpoint=ckpt, start_it=start_sampling,
             )
+            if ckpt is not None and start_sampling:
+                prev_d, _pl = ckpt.saved_blocks("sampling", start_sampling)
+                if prev_d is not None:
+                    # run_sampling counts iterations from start_it, so
+                    # info.sampling_iters is already the absolute total
+                    draws = (
+                        np.concatenate([prev_d, draws])
+                        if draws.size
+                        else prev_d
+                    )
 
     step_sizes = np.asarray(params.step_size)
     inv_metric_out = np.asarray(params.inv_mass) if save_inv_metric else None

@@ -131,6 +131,8 @@ def run_warmup(
     progress=None,
     integrator=None,
     bf16_ends: bool = False,
+    checkpoint=None,
+    start_it: int = 0,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -138,6 +140,12 @@ def run_warmup(
     ``init_warmup_state``). Returns the final state, optionally the stacked
     warmup draws ``(iters, C, D)`` and their log densities ``(iters, C)``,
     and run info.
+
+    ``checkpoint`` is an optional
+    :class:`walnuts_tpu.parallel.checkpoint.BlockCheckpointer`; the state
+    is persisted between blocks, and ``start_it`` (a block boundary from a
+    restored checkpoint) resumes mid-warmup — the returned draws cover
+    ``[start_it, end)`` only; earlier blocks live in the checkpoint.
     """
     state = shard_chains(state, mesh)
     warmup_step = make_warmup_step(
@@ -157,7 +165,7 @@ def run_warmup(
     info = RunInfo()
     draws_host: List[np.ndarray] = []
     logps_host: List[np.ndarray] = []
-    it = 0
+    it = start_it
     converged = False
 
     def check() -> bool:
@@ -167,7 +175,7 @@ def run_warmup(
             & (mrs <= warmup_cfg.step_size_converge_tol)
         )
 
-    if warmup_cfg.min_iter == 0 and warmup_cfg.max_iter > 0:
+    if warmup_cfg.min_iter == 0 and warmup_cfg.max_iter > 0 and it == 0:
         converged = check()
 
     # A KeyboardInterrupt (the reference's SIGINT path, interrupts.hpp:34-102)
@@ -188,6 +196,13 @@ def run_warmup(
             if save_warmup:
                 draws_host.append(np.asarray(outs[0]))
                 logps_host.append(np.asarray(outs[1]))
+            if checkpoint is not None:
+                info.warmup_iters = it
+                checkpoint.block(
+                    "warmup", it, state, info, block_start=it - n,
+                    theta=outs[0] if save_warmup else None,
+                    logp=outs[1] if save_warmup else None,
+                )
             if progress is not None:
                 progress("warmup", it)
             # evaluated on the final block too (not just while it can stop
@@ -225,11 +240,17 @@ def run_sampling(
     chain_groups: int = 1,
     device_draws: bool = False,
     flatten: bool = False,
+    checkpoint=None,
+    start_it: int = 0,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
     Returns the final state, the draws ``(iters, C, D)``, their position
-    log densities ``(iters, C)``, and run info.
+    log densities ``(iters, C)``, and run info. With ``checkpoint`` set
+    (a :class:`~walnuts_tpu.parallel.checkpoint.BlockCheckpointer`), the
+    state + params are persisted between blocks; ``start_it`` resumes at
+    a checkpointed block boundary and the returned draws then cover
+    ``[start_it, end)`` only.
 
     ``device_draws=True`` keeps the collected draws on the device
     (returned as jax arrays) instead of streaming each block to the host —
@@ -254,6 +275,10 @@ def run_sampling(
     """
     if flatten and chain_groups > 1:
         raise ValueError("flatten is incompatible with chain_groups")
+    if checkpoint is not None and (flatten or chain_groups > 1):
+        # the flat scheduler's bank and the group permutation are not part
+        # of the checkpointed state
+        raise ValueError("checkpoint is incompatible with flatten/chain_groups")
     permutation = None
     if chain_groups > 1:
         if mesh is not None:
@@ -377,7 +402,7 @@ def run_sampling(
     info = info or RunInfo()
     draws_host: List[np.ndarray] = []
     logps_host: List[np.ndarray] = []
-    it = 0
+    it = start_it
     converged = False
     # On KeyboardInterrupt the draws collected so far are returned (the
     # reference's interrupt path likewise leaves the already-written
@@ -394,16 +419,23 @@ def run_sampling(
             it += n
             if device_draws:
                 if dev_draws_buf is None:
-                    shape = (sampling_cfg.max_iter,) + theta.shape[1:]
+                    n_left = sampling_cfg.max_iter - start_it
+                    shape = (n_left,) + theta.shape[1:]
                     dev_draws_buf = jnp.zeros(shape, theta.dtype)
                     dev_logps_buf = jnp.zeros(
-                        (sampling_cfg.max_iter,) + logp.shape[1:], logp.dtype
+                        (n_left,) + logp.shape[1:], logp.dtype
                     )
-                dev_draws_buf = _write_block(dev_draws_buf, theta, it - n)
-                dev_logps_buf = _write_block(dev_logps_buf, logp, it - n)
+                dev_draws_buf = _write_block(dev_draws_buf, theta, it - n - start_it)
+                dev_logps_buf = _write_block(dev_logps_buf, logp, it - n - start_it)
             else:
                 draws_host.append(np.asarray(theta))
                 logps_host.append(np.asarray(logp))
+            if checkpoint is not None:
+                info.sampling_iters = it
+                checkpoint.block(
+                    "sampling", it, state, info, block_start=it - n,
+                    theta=theta, logp=logp, params=params,
+                )
             if progress is not None:
                 progress("sampling", it)
             # also evaluated on the final block (see the warmup note): the
@@ -432,8 +464,8 @@ def run_sampling(
         elif it == sampling_cfg.max_iter:
             draws, logps = dev_draws_buf, dev_logps_buf
         else:  # early stop / interrupt: return only the filled prefix
-            draws = dev_draws_buf[:it]
-            logps = dev_logps_buf[:it]
+            draws = dev_draws_buf[: it - start_it]
+            logps = dev_logps_buf[: it - start_it]
     else:
         draws = np.concatenate(draws_host, axis=0) if draws_host else np.empty((0,))
         logps = np.concatenate(logps_host, axis=0) if logps_host else np.empty((0,))
