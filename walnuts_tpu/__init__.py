@@ -14,6 +14,7 @@ statistics functions.
 
 from walnuts_tpu.api import walnuts, walnuts_pyfunc
 from walnuts_tpu.config import InitConfig, SamplingConfig, WalnutsConfig, WarmupConfig
+from walnuts_tpu.parallel.checkpoint import BlockCheckpointer
 from walnuts_tpu.parallel.runtime import RunInfo
 from walnuts_tpu.summary import (
     Summarizer,
@@ -40,6 +41,7 @@ except Exception:  # pragma: no cover - mirrors reference __init__.py:3-10
 __version__ = "0.1.0"
 
 __all__ = [
+    "BlockCheckpointer",
     "InitConfig",
     "RunInfo",
     "SamplingConfig",
