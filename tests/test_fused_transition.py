@@ -104,6 +104,45 @@ class TestFusedTransition:
         # consistent with the single-transition kernel minus one
         assert float(np.asarray(ng).mean()) / N > 1.0
 
+    def test_nonunit_mass_and_heterogeneous_steps(self):
+        """Adapted-params regime: a non-unit inverse mass matrix and
+        per-chain step sizes. Every other test runs inv_mass=1, which a
+        mass-handling bug would sail through (the bench runs with adapted
+        per-chain masses). Momenta must be drawn ~ N(0, M) = N(0, 1/inv_mass)."""
+        dim, chains, iters = 6, 64, 300
+        vg, _, consts = ill_conditioned_normal_vg(dim)
+        true_var = np.arange(1.0, dim + 1.0) ** 2
+        ft = make_fused_transition(
+            vg, dim, max_depth=5, max_step_halvings=6, block_b=32,
+            interpret=True, consts=consts)
+        key = jax.random.key(21)
+        theta = jax.random.normal(jax.random.fold_in(key, 1), (chains, dim),
+                                  jnp.float32)
+        # true inverse mass = posterior variance; per-chain jittered steps
+        inv_mass = jnp.broadcast_to(
+            jnp.asarray(true_var, jnp.float32), (chains, dim))
+        step = jnp.exp(0.3 * jax.random.normal(
+            jax.random.fold_in(key, 2), (chains,))).astype(jnp.float32)
+        mm = jnp.ones((chains,), jnp.int32)
+
+        def one_iter(carry, i):
+            key, theta = carry
+            key, k1 = jax.random.split(key)
+            rho = jax.random.normal(k1, (chains, dim), jnp.float32) / jnp.sqrt(
+                inv_mass)
+            lp0, g0 = vg(theta, *consts)
+            th, g, lp, depth, ng = ft(i, theta, rho, lp0, g0, step,
+                                      inv_mass, mm, 0.5)
+            return (key, th), (th, ng)
+
+        run = jax.jit(lambda c: jax.lax.scan(one_iter, c, jnp.arange(iters)))
+        (_, _), (draws, ngs) = run((key, theta))
+        d = np.asarray(draws)[100:].reshape(-1, dim)
+        np.testing.assert_allclose(d.var(0), true_var, rtol=0.25)
+        # a unit-mass run at these steps would need far more halvings:
+        # preconditioned well, grads/draw stay small
+        assert np.asarray(ngs)[100:].mean() < 20.0
+
     def test_matches_xla_transition_statistics(self):
         """Same target, same tuning: the fused kernel's depth and
         gradient-count distributions must match the XLA transition's
