@@ -139,38 +139,60 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     block = int(os.environ.get("BENCH_BLOCK", 100))
     _run_once(logp_grad, dim, n_chains, min(block, warmup_iters),
               min(block, sampling_iters), seed, jnp.float32)
-    r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
-                  seed + 1, jnp.float32)
 
-    draws = r.pop("draws")
-    # ESS over ALL dims; the native baseline records all dims too
-    # (csrc/baseline_bench.cpp keep_dims), so the median-ESS estimator is
-    # the same protocol on both sides of vs_baseline
-    if isinstance(draws, np.ndarray):
-        draws = np.moveaxis(draws, 0, 1)  # (C, iters, D)
-        ess = effective_sample_size([draws[c] for c in range(draws.shape[0])])
-    else:
-        # device-resident wide cube: chunked on-device Geyer ESS (matches
-        # the host estimator to float tolerance; tested)
-        import jax.numpy as jnp_
+    # seed-averaged: the funnel's median-dim pooled ESS carries ~30% seed
+    # noise even at 4096 chains (measured, docs/BENCHMARKS.md), so the
+    # headline aggregates means over BENCH_SEEDS runs — matching the
+    # seed-averaged native baseline (csrc/run_baseline.py). Ratios are
+    # taken of means, not means of ratios. The expensive SV flagship
+    # stays single-seed.
+    n_seeds = int(os.environ.get("BENCH_SEEDS", 1 if model_name == "sv" else 3))
+    per_seed_ess = []
+    agg = None
+    for s in range(n_seeds):
+        r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
+                      seed + 1 + s, jnp.float32)
+        draws = r.pop("draws")
+        # ESS over ALL dims; the native baseline records all dims too
+        # (csrc/baseline_bench.cpp keep_dims), so the median-ESS estimator
+        # is the same protocol on both sides of vs_baseline
+        if isinstance(draws, np.ndarray):
+            draws = np.moveaxis(draws, 0, 1)  # (C, iters, D)
+            ess = effective_sample_size(
+                [draws[c] for c in range(draws.shape[0])])
+        else:
+            # device-resident wide cube: chunked on-device Geyer ESS
+            # (matches the host estimator to float tolerance; tested)
+            import jax.numpy as jnp_
 
-        from walnuts_tpu.summary_device import (
-            effective_sample_size_device_chunked,
-        )
+            from walnuts_tpu.summary_device import (
+                effective_sample_size_device_chunked,
+            )
 
-        ess = np.asarray(effective_sample_size_device_chunked(
-            jnp_.moveaxis(draws, 0, 1)))
+            ess = np.asarray(effective_sample_size_device_chunked(
+                jnp_.moveaxis(draws, 0, 1)))
+        per_seed_ess.append(float(np.median(ess)))
+        r["ess_min"] = float(np.min(ess))
+        agg = r if agg is None else {
+            k: (v + r[k] if isinstance(v, (int, float)) else r[k])
+            for k, v in agg.items()
+        }
+    r = {k: (v / n_seeds if isinstance(v, (int, float)) else v)
+         for k, v in agg.items()}
+    ess_median = float(np.mean(per_seed_ess))
     total_time = r["warmup_time"] + r["sampling_time"]
     return {
         "model": model_name,
         "dim": dim,
-        "ess_median": float(np.median(ess)),
-        "ess_min": float(np.min(ess)),
-        "ess_per_sec": float(np.median(ess) / r["sampling_time"]),
-        "ess_per_sec_incl_warmup": float(np.median(ess) / total_time),
+        "n_seeds": n_seeds,
+        "ess_median": ess_median,
+        "ess_median_per_seed": per_seed_ess,
+        "ess_min": r.pop("ess_min"),
+        "ess_per_sec": float(ess_median / r["sampling_time"]),
+        "ess_per_sec_incl_warmup": float(ess_median / total_time),
         "grad_evals_per_sec": float(r["total_grads"] / total_time),
         "sampling_grad_evals_per_sec": float(r["sampling_grads"] / r["sampling_time"]),
-        "ess_per_grad": float(np.median(ess) / r["total_grads"]),
+        "ess_per_grad": float(ess_median / r["total_grads"]),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()},
     }
 
@@ -231,6 +253,15 @@ def main():
             pkey = f"{r['model']}_ess_per_grad"
             if pkey in base:
                 r["ess_per_grad_vs_baseline"] = float(r["ess_per_grad"] / base[pkey])
+            # matched-chain-count parity where a native run at THIS chain
+            # count exists (the pooled ESS estimator scales with chain
+            # count, so the 16-chain ratio above is not a parity metric;
+            # docs/BENCHMARKS.md "ESS-per-gradient parity")
+            mkey = f"{r['model']}_ess_per_grad_{n_chains}c"
+            if mkey in base:
+                r["ess_per_grad_vs_baseline_matched"] = float(
+                    r["ess_per_grad"] / base[mkey]
+                )
         if per_model:
             vs_baseline = float(np.exp(np.mean(np.log(per_model))))
 

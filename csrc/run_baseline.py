@@ -58,6 +58,14 @@ def export_sv_data(path: str) -> None:
 
 
 def run_model(binary: str, model: str, chains: int, warmup: int, sampling: int):
+    """Average the baseline over several seeds.
+
+    The funnel's median-dimension pooled ESS has ~40% seed noise at 16
+    chains (measured: 5 seeds span 0.0032-0.0105 ESS/grad), so a
+    single-seed baseline silently moves the vs_baseline goalposts between
+    rounds. Ratios are taken of seed-MEANS (ESS, grads, seconds), not
+    means of per-seed ratios.
+    """
     extra = []
     if model == "logreg":
         data_path = os.path.join(HERE, "logreg_data.bin")
@@ -67,29 +75,36 @@ def run_model(binary: str, model: str, chains: int, warmup: int, sampling: int):
         data_path = os.path.join(HERE, "sv_data.bin")
         export_sv_data(data_path)
         extra = [data_path]
-    with tempfile.NamedTemporaryFile(suffix=".bin") as tmp:
-        out = subprocess.check_output(
-            [binary, model, str(chains), str(warmup), str(sampling), "2026", tmp.name]
-            + extra
-        )
-        stats = json.loads(out.decode())
-        raw = np.fromfile(tmp.name, dtype=np.float64, offset=12)
-        header = np.fromfile(tmp.name, dtype=np.int32, count=3)
-    n_chains, n_samp, keep = header
-    draws = raw.reshape(n_chains, n_samp, keep)
-    ess = effective_sample_size([draws[c] for c in range(n_chains)])
-    sampling_seconds = stats["total_seconds"] - stats["warmup_seconds"]
+    n_seeds = int(os.environ.get("BASELINE_SEEDS", 5 if model != "sv" else 1))
+    per_seed = {"ess": [], "grads": [], "secs": [], "total": []}
+    for s in range(n_seeds):
+        with tempfile.NamedTemporaryFile(suffix=".bin") as tmp:
+            out = subprocess.check_output(
+                [binary, model, str(chains), str(warmup), str(sampling),
+                 str(2026 + s), tmp.name] + extra
+            )
+            stats = json.loads(out.decode())
+            raw = np.fromfile(tmp.name, dtype=np.float64, offset=12)
+            header = np.fromfile(tmp.name, dtype=np.int32, count=3)
+        n_chains, n_samp, keep = header
+        draws = raw.reshape(n_chains, n_samp, keep)
+        ess = effective_sample_size([draws[c] for c in range(n_chains)])
+        per_seed["ess"].append(float(np.median(ess)))
+        per_seed["grads"].append(stats["grad_evals"])
+        per_seed["secs"].append(stats["total_seconds"] - stats["warmup_seconds"])
+        per_seed["total"].append(stats["total_seconds"])
+    mean = {k: float(np.mean(v)) for k, v in per_seed.items()}
     return {
-        f"{model}_ess_median": float(np.median(ess)),
-        f"{model}_sampling_seconds_1core": sampling_seconds,
-        f"{model}_ess_per_sec_1core": float(np.median(ess) / sampling_seconds),
-        f"{model}_grad_evals": stats["grad_evals"],
-        f"{model}_total_seconds_1core": stats["total_seconds"],
-        f"{model}_ess_per_grad": float(
-            np.median(ess) / stats["grad_evals"]
-        ),
+        f"{model}_ess_median": mean["ess"],
+        f"{model}_ess_median_per_seed": per_seed["ess"],
+        f"{model}_sampling_seconds_1core": mean["secs"],
+        f"{model}_ess_per_sec_1core": mean["ess"] / mean["secs"],
+        f"{model}_grad_evals": mean["grads"],
+        f"{model}_total_seconds_1core": mean["total"],
+        f"{model}_ess_per_grad": mean["ess"] / mean["grads"],
         f"{model}_chains": int(n_chains),
         f"{model}_sampling_iters": int(n_samp),
+        f"{model}_n_seeds": n_seeds,
     }
 
 

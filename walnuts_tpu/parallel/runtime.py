@@ -404,6 +404,22 @@ def run_sampling(
     logps_host: List[np.ndarray] = []
     it = start_it
     converged = False
+    # Host collection is PIPELINED: a finished block's device->host copy
+    # is started asynchronously and materialized only after the NEXT
+    # block has been dispatched, so the (slow) host link transfers while
+    # the device computes instead of idling it (the reference's handlers
+    # write into host RAM from worker threads at ~zero cost,
+    # handlers.hpp:63-116; this is the TPU analog). Draws are identical,
+    # only the overlap changes.
+    pending = None  # (theta, logp) of the block awaiting materialization
+
+    def _flush_pending():
+        nonlocal pending
+        if pending is not None:
+            draws_host.append(np.asarray(pending[0]))
+            logps_host.append(np.asarray(pending[1]))
+            pending = None
+
     # On KeyboardInterrupt the draws collected so far are returned (the
     # reference's interrupt path likewise leaves the already-written
     # buffers with the caller).
@@ -428,8 +444,13 @@ def run_sampling(
                 dev_draws_buf = _write_block(dev_draws_buf, theta, it - n - start_it)
                 dev_logps_buf = _write_block(dev_logps_buf, logp, it - n - start_it)
             else:
-                draws_host.append(np.asarray(theta))
-                logps_host.append(np.asarray(logp))
+                _flush_pending()
+                pending = (theta, logp)
+                for x in pending:
+                    try:
+                        x.copy_to_host_async()
+                    except Exception:
+                        pass  # backend without async copy: np.asarray later
             if checkpoint is not None:
                 info.sampling_iters = it
                 checkpoint.block(
@@ -452,6 +473,7 @@ def run_sampling(
         info.interrupted = True
         jax.block_until_ready(state)
 
+    _flush_pending()  # materialize the last block's async copy
     info.sampling_iters = it
     info.converged_sampling = converged
     info.n_grads = np.asarray(state.n_grads)
