@@ -123,3 +123,34 @@ class TestCheckpoint:
     def test_checkpoint_incompatible_with_chain_groups(self, tmp_path):
         with pytest.raises(ValueError):
             run(tmp_path / "ck", num_chains=4, chain_groups=2)
+
+    def test_mesh_run_checkpoints_and_resumes(self, tmp_path, monkeypatch):
+        """Sharded state round-trips through orbax: a mesh run with
+        checkpointing matches a plain mesh run, and a crashed mesh run
+        resumes bitwise."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("chains",))
+        plain = run(num_chains=8, mesh=mesh)
+        ck = run(tmp_path / "ck", num_chains=8, mesh=mesh)
+        for a, b in zip(plain, ck):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        real_run_sampling = api_mod.run_sampling
+
+        def crashing_run_sampling(*args, **kwargs):
+            cfg = args[3]
+            short = cfg.__class__(
+                **{**cfg.__dict__, "min_iter": 8, "max_iter": 8}
+            )
+            real_run_sampling(*(args[:3] + (short,)), **kwargs)
+            raise RuntimeError("simulated preemption")
+
+        monkeypatch.setattr(api_mod, "run_sampling", crashing_run_sampling)
+        with pytest.raises(RuntimeError):
+            run(tmp_path / "ck2", num_chains=8, mesh=mesh)
+        monkeypatch.setattr(api_mod, "run_sampling", real_run_sampling)
+        resumed = run(tmp_path / "ck2", num_chains=8, mesh=mesh)
+        for a, b in zip(plain, resumed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
