@@ -221,6 +221,8 @@ def main():
     models = ["funnel", "logreg"]
     if int(os.environ.get("BENCH_SV", 0)):
         models.append("sv")
+    if os.environ.get("BENCH_MODELS"):  # explicit override, e.g. "sv"
+        models = os.environ["BENCH_MODELS"].split(",")
     results = []
     for model in models:
         results.append(

@@ -142,6 +142,20 @@ class TestOutputs:
             assert lps.shape == (7,)
             assert np.isfinite(lps).all()
 
+    def test_thin_selects_every_kth_draw(self):
+        """thin=k stores exactly the draws a thin=1 run stores at the
+        k-th positions of each block (the sampler advances identically)."""
+        full = sample(min_sampling_iter=12, max_sampling_iter=12, block_size=4)
+        thinned = sample(min_sampling_iter=12, max_sampling_iter=12,
+                         block_size=4, thin=2)
+        for a, b in zip(full, thinned):
+            assert b.shape[0] == 6
+            np.testing.assert_array_equal(np.asarray(a)[1::2], np.asarray(b))
+
+    def test_thin_must_divide_block_size(self):
+        with pytest.raises(ValueError):
+            sample(block_size=4, thin=3)
+
     def test_explicit_inits_used(self):
         inits = np.full((2, DIM), 0.25)
         out = sample(inits=inits, min_warmup_iter=1, max_warmup_iter=1)

@@ -86,6 +86,7 @@ def walnuts(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = True,
+    thin: int = 1,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -137,6 +138,12 @@ def walnuts(
     to completion before the interrupt lands. Everything adapted/sampled
     so far is returned, like the reference's SIGINT path
     (interrupts.hpp:34-102); lower ``block_size`` for finer granularity.
+
+    ``thin`` (a TPU-scale extension; the reference has no thinning)
+    stores every ``thin``-th sampling draw, dividing draw memory for
+    very wide posteriors; the sampler still advances every iteration
+    and the R-hat controller still sees every log density. Must divide
+    ``block_size``.
 
     Checkpointing (a TPU-native extension; the reference only
     warm-starts, handlers.hpp:91-100): with ``checkpoint_dir`` set, the
@@ -354,6 +361,7 @@ def walnuts(
                 bf16_ends=bf16_ends,
                 flatten=flatten and chain_groups == 1,
                 checkpoint=ckpt, start_it=start_sampling,
+                thin=thin,
             )
             if ckpt is not None and start_sampling:
                 prev_d, _pl = ckpt.saved_blocks("sampling", start_sampling)

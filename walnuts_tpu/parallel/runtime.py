@@ -242,6 +242,7 @@ def run_sampling(
     flatten: bool = False,
     checkpoint=None,
     start_it: int = 0,
+    thin: int = 1,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -266,6 +267,13 @@ def run_sampling(
     Outputs are returned in the original chain order. Single-device only
     (incompatible with ``mesh``).
 
+    ``thin > 1`` stores every ``thin``-th draw (the last of each group
+    of ``thin`` iterations) — a TPU-scale extension (the reference has
+    no thinning) that divides the draw-cube memory for very wide
+    posteriors; the sampler itself still advances every iteration and
+    the R-hat controller still sees every log density. Must divide
+    ``block_size``.
+
     ``flatten=True`` uses the run-ahead flattened scheduler
     (``walnuts_tpu.core.transition.make_flat_sample_block``): lanes that
     finish a trajectory immediately start the next one instead of waiting
@@ -279,6 +287,11 @@ def run_sampling(
         # the flat scheduler's bank and the group permutation are not part
         # of the checkpointed state
         raise ValueError("checkpoint is incompatible with flatten/chain_groups")
+    if thin < 1 or sampling_cfg.block_size % thin:
+        raise ValueError(
+            f"thin ({thin}) must be >= 1 and divide block_size "
+            f"({sampling_cfg.block_size})"
+        )
     permutation = None
     if chain_groups > 1:
         if mesh is not None:
@@ -433,16 +446,21 @@ def run_sampling(
             else:
                 state, (theta, logp) = run_block(state, params, n)
             it += n
+            if thin > 1:
+                theta = theta[thin - 1::thin]
+                logp = logp[thin - 1::thin]
             if device_draws:
                 if dev_draws_buf is None:
-                    n_left = sampling_cfg.max_iter - start_it
+                    n_left = (sampling_cfg.max_iter - start_it) // thin
                     shape = (n_left,) + theta.shape[1:]
                     dev_draws_buf = jnp.zeros(shape, theta.dtype)
                     dev_logps_buf = jnp.zeros(
                         (n_left,) + logp.shape[1:], logp.dtype
                     )
-                dev_draws_buf = _write_block(dev_draws_buf, theta, it - n - start_it)
-                dev_logps_buf = _write_block(dev_logps_buf, logp, it - n - start_it)
+                dev_draws_buf = _write_block(
+                    dev_draws_buf, theta, (it - n - start_it) // thin)
+                dev_logps_buf = _write_block(
+                    dev_logps_buf, logp, (it - n - start_it) // thin)
             else:
                 _flush_pending()
                 pending = (theta, logp)
@@ -486,8 +504,8 @@ def run_sampling(
         elif it == sampling_cfg.max_iter:
             draws, logps = dev_draws_buf, dev_logps_buf
         else:  # early stop / interrupt: return only the filled prefix
-            draws = dev_draws_buf[: it - start_it]
-            logps = dev_logps_buf[: it - start_it]
+            draws = dev_draws_buf[: (it - start_it) // thin]
+            logps = dev_logps_buf[: (it - start_it) // thin]
     else:
         draws = np.concatenate(draws_host, axis=0) if draws_host else np.empty((0,))
         logps = np.concatenate(logps_host, axis=0) if logps_host else np.empty((0,))
