@@ -62,6 +62,51 @@ class TestShardedSampling:
         for a, b in zip(out_mesh, out_single):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
 
+    def test_device_draws_and_thin_on_mesh(self, mesh):
+        """The bench's device-resident collection path and thinning work
+        under a sharded mesh and match the host-collection draws."""
+        from walnuts_tpu.config import SamplingConfig, WarmupConfig
+        from walnuts_tpu.core.adapt import nutpie_init_mass
+        from walnuts_tpu.core.sampler import (
+            freeze_params, init_sample_state, init_warmup_state,
+        )
+        from walnuts_tpu.ops.math import make_logp_grad
+        from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
+
+        import jax
+        import jax.numpy as jnp
+
+        logp, dim = std_normal(3)
+        lg = make_logp_grad(logp)
+        wcfg = WarmupConfig(min_iter=8, max_iter=8, block_size=4)
+        scfg = SamplingConfig(min_iter=8, max_iter=8, block_size=4)
+        C = 8
+        base = jax.random.key(5)
+        keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(jnp.arange(C))
+        theta0 = jax.random.normal(jax.random.fold_in(base, 99), (C, dim))
+        grads = jax.vmap(lambda t: lg(t)[1])(theta0)
+        mass = jax.vmap(lambda g: nutpie_init_mass(g, jnp.asarray(1e-5)))(grads)
+        step0 = jnp.full((C,), 0.5, theta0.dtype)
+
+        def pipeline(device_draws, thin):
+            ws = jax.vmap(
+                lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+            )(keys, theta0, mass, step0)
+            ws, _, _, _ = run_warmup(lg, ws, wcfg, scfg, mesh=mesh)
+            params = jax.vmap(freeze_params)(ws)
+            ss = jax.vmap(init_sample_state)(ws)
+            _, draws, _, _ = run_sampling(
+                lg, ss, params, scfg, mesh=mesh,
+                device_draws=device_draws, thin=thin,
+            )
+            return np.asarray(draws)
+
+        host = pipeline(False, 1)
+        dev = pipeline(True, 1)
+        np.testing.assert_array_equal(host, dev)
+        thinned = pipeline(True, 2)
+        np.testing.assert_array_equal(host[1::2], thinned)
+
     def test_early_stopping_on_mesh(self, mesh):
         logp, dim = std_normal(2)
         out, info = walnuts(
