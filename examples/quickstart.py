@@ -72,3 +72,25 @@ warm = walnuts(
 )
 print(f"\nwarm-started run: {warm[0].shape[0]} draws/chain, "
       f"mean {np.concatenate(warm).mean(0).round(3)}")
+
+# ------------------------------------------------- checkpointed long run
+# For long production runs on preemptible hardware: the full state
+# persists between blocks, and rerunning the SAME call after a crash
+# resumes where it left off, reproducing the uninterrupted run's draws
+# bitwise (a strict superset of the reference's warm-start story).
+import tempfile
+
+ckdir = tempfile.mkdtemp(prefix="walnuts_ck_")
+ck = walnuts(
+    logp,
+    num_params=2,
+    num_chains=8,
+    seed=2028,
+    min_warmup_iter=100, max_warmup_iter=100,
+    min_sampling_iter=200, max_sampling_iter=200,
+    block_size=20,
+    checkpoint_dir=ckdir,      # resume=True is the default
+    thin=2,                    # keep every 2nd draw (wide posteriors); divides block_size
+)
+print(f"checkpointed run: {ck[0].shape[0]} thinned draws/chain "
+      f"(resumable from {ckdir})")
