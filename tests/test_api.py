@@ -156,6 +156,15 @@ class TestOutputs:
         with pytest.raises(ValueError):
             sample(block_size=4, thin=3)
 
+    def test_keep_dims_selects_columns(self):
+        """keep_dims stores only the chosen parameter dimensions; the
+        sampler trajectory is unchanged (same columns as the full run)."""
+        full = sample(min_sampling_iter=8, max_sampling_iter=8)
+        sel = sample(min_sampling_iter=8, max_sampling_iter=8, keep_dims=[1])
+        for a, b in zip(full, sel):
+            assert b.shape == (8, 1)
+            np.testing.assert_array_equal(np.asarray(a)[:, [1]], np.asarray(b))
+
     def test_explicit_inits_used(self):
         inits = np.full((2, DIM), 0.25)
         out = sample(inits=inits, min_warmup_iter=1, max_warmup_iter=1)

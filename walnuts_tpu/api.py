@@ -87,6 +87,7 @@ def walnuts(
     checkpoint_every: int = 1,
     resume: bool = True,
     thin: int = 1,
+    keep_dims=None,
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
@@ -143,7 +144,9 @@ def walnuts(
     stores every ``thin``-th sampling draw, dividing draw memory for
     very wide posteriors; the sampler still advances every iteration
     and the R-hat controller still sees every log density. Must divide
-    ``block_size``.
+    ``block_size``. ``keep_dims`` (a sequence of parameter indices)
+    stores only those dimensions of each draw — the other axis of the
+    same memory lever; the sampler itself keeps full dimensionality.
 
     Checkpointing (a TPU-native extension; the reference only
     warm-starts, handlers.hpp:91-100): with ``checkpoint_dir`` set, the
@@ -352,7 +355,8 @@ def walnuts(
         if info.interrupted:
             # Ctrl-C during warmup: stop the run; report the adaptation
             # reached so far with zero sampling draws.
-            draws = np.zeros((0, num_chains, num_params))
+            out_dim = num_params if keep_dims is None else len(keep_dims)
+            draws = np.zeros((0, num_chains, out_dim))
         else:
             sstate, draws, _logps, info = run_sampling(
                 logp_grad, sstate, params, sampling_cfg,
@@ -361,7 +365,7 @@ def walnuts(
                 bf16_ends=bf16_ends,
                 flatten=flatten and chain_groups == 1,
                 checkpoint=ckpt, start_it=start_sampling,
-                thin=thin,
+                thin=thin, keep_dims=keep_dims,
             )
             if ckpt is not None and start_sampling:
                 prev_d, _pl = ckpt.saved_blocks("sampling", start_sampling)

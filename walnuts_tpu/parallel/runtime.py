@@ -243,6 +243,7 @@ def run_sampling(
     checkpoint=None,
     start_it: int = 0,
     thin: int = 1,
+    keep_dims=None,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -273,6 +274,11 @@ def run_sampling(
     posteriors; the sampler itself still advances every iteration and
     the R-hat controller still sees every log density. Must divide
     ``block_size``.
+
+    ``keep_dims`` (a sequence of parameter indices, or None for all)
+    stores only those dimensions of each draw — the complement of
+    ``thin`` for 1000+-dim posteriors where only a parameter subset is
+    analyzed. The sampler state keeps full dimensionality.
 
     ``flatten=True`` uses the run-ahead flattened scheduler
     (``walnuts_tpu.core.transition.make_flat_sample_block``): lanes that
@@ -449,6 +455,8 @@ def run_sampling(
             if thin > 1:
                 theta = theta[thin - 1::thin]
                 logp = logp[thin - 1::thin]
+            if keep_dims is not None:
+                theta = theta[:, :, jnp.asarray(keep_dims)]
             if device_draws:
                 if dev_draws_buf is None:
                     n_left = (sampling_cfg.max_iter - start_it) // thin
