@@ -38,7 +38,7 @@ except Exception:  # pragma: no cover - mirrors reference __init__.py:3-10
             "walnuts_stan requires the 'bridgestan' package to be installed"
         )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BlockCheckpointer",
