@@ -148,6 +148,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     # stays single-seed.
     n_seeds = int(os.environ.get("BENCH_SEEDS", 1 if model_name == "sv" else 3))
     per_seed_ess = []
+    per_seed_time = []  # transient worker slowdowns show up here
     agg = None
     for s in range(n_seeds):
         r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
@@ -172,6 +173,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
             ess = np.asarray(effective_sample_size_device_chunked(
                 jnp_.moveaxis(draws, 0, 1)))
         per_seed_ess.append(float(np.median(ess)))
+        per_seed_time.append(round(r["sampling_time"], 3))
         r["ess_min"] = float(np.min(ess))
         agg = r if agg is None else {
             k: (v + r[k] if isinstance(v, (int, float)) else r[k])
@@ -187,6 +189,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
         "n_seeds": n_seeds,
         "ess_median": ess_median,
         "ess_median_per_seed": per_seed_ess,
+        "sampling_time_per_seed": per_seed_time,
         "ess_min": r.pop("ess_min"),
         "ess_per_sec": float(ess_median / r["sampling_time"]),
         "ess_per_sec_incl_warmup": float(ess_median / total_time),
