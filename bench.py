@@ -77,8 +77,10 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
 
     t0 = time.time()
     bf16 = bool(int(os.environ.get("BENCH_BF16_ENDS", 0)))
+    unroll = int(os.environ.get("BENCH_UNROLL", 1))
     wstate, _, _, info = run_warmup(
-        logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16
+        logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16,
+        unroll=unroll,
     )
     jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0
@@ -96,6 +98,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         logp_grad, sstate, params, sampling_cfg, info=info,
         chain_groups=groups, device_draws=True, bf16_ends=bf16,
         flatten=bool(int(os.environ.get("BENCH_FLATTEN", 0))) and groups == 1,
+        unroll=unroll,
     )
     jax.block_until_ready((sstate, draws))
     sampling_time = time.time() - t0

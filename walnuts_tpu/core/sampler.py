@@ -127,7 +127,7 @@ def init_warmup_state(
 
 def make_warmup_step(
     logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None,
-    bf16_ends: bool = False,
+    bf16_ends: bool = False, unroll: int = 1,
 ) -> Callable[[WarmupState], Tuple[WarmupState, WarmupOutput]]:
     """One continuous-warmup iteration (adaptive_walnuts.hpp:234-251).
 
@@ -143,6 +143,7 @@ def make_warmup_step(
         adapt_step_size=True,
         integrator=integrator,
         bf16_ends=bf16_ends,
+        unroll=unroll,
     )
     max_error = sampling_cfg.max_hamiltonian_error
 
@@ -204,7 +205,7 @@ def init_sample_state(state: WarmupState) -> SampleState:
 
 def make_sample_step(
     logp_grad: LogpGradFn, sampling_cfg: SamplingConfig, integrator=None,
-    bf16_ends: bool = False,
+    bf16_ends: bool = False, unroll: int = 1,
 ) -> Callable[[SampleState, FrozenParams], Tuple[SampleState, TransitionResult]]:
     """One fixed-parameter WALNUTS draw (``WalnutsSampler::operator()``,
     walnuts.hpp:682-692), plus the running log-density Welford used by the
@@ -216,6 +217,7 @@ def make_sample_step(
         adapt_step_size=False,
         integrator=integrator,
         bf16_ends=bf16_ends,
+        unroll=unroll,
     )
     max_error = sampling_cfg.max_hamiltonian_error
 

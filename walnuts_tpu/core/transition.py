@@ -602,6 +602,20 @@ def make_transition_parts(
     return init_state, body
 
 
+def _tree_select(pred, a_tree, b_tree):
+    """Per-leaf ``where(pred, a, b)`` incl. typed PRNG key leaves."""
+    def sel(a, b):
+        if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(
+                jnp.where(pred, jax.random.key_data(a),
+                          jax.random.key_data(b)),
+                impl=jax.random.key_impl(a),
+            )
+        return jnp.where(pred, a, b)
+
+    return jax.tree.map(sel, a_tree, b_tree)
+
+
 def make_transition(
     logp_grad: LogpGradFn,
     max_depth: int,
@@ -609,6 +623,7 @@ def make_transition(
     adapt_step_size: bool,
     integrator=None,
     bf16_ends: bool = False,
+    unroll: int = 1,
 ) -> Callable[..., TransitionResult]:
     """Build a single-chain WALNUTS transition (walnuts.hpp:520-563).
 
@@ -630,6 +645,13 @@ def make_transition(
     selected draws, and the selection weights keep full precision; only
     U-turn decisions (hence trajectory lengths) shift slightly. Measured
     slower on v5e at D ~ 100 (convert overhead); off by default.
+
+    ``unroll`` applies the phase-machine body ``unroll`` times per
+    while-loop iteration, each application masked to the identity on
+    finished lanes — the final state (hence every draw) is BITWISE
+    identical to ``unroll=1``; only loop-control and scheduling
+    granularity change. Amortizes per-iteration overhead when attempts
+    are short (shallow-tree models at small D).
     """
     init_state, body = make_transition_parts(
         logp_grad, max_depth, max_step_halvings, adapt_step_size,
@@ -652,11 +674,20 @@ def make_transition(
         logp0, grad0 = logp_grad(theta)
         state = init_state(key, theta, logp0, grad0, step, inv_mass,
                            min_micro, adam, jnp.int32(1))
-        final = jax.lax.while_loop(
-            lambda s: ~s.done,
-            lambda s: body(s, step, inv_mass, min_micro, max_error),
-            state,
-        )
+
+        def loop_body(s):
+            return body(s, step, inv_mass, min_micro, max_error)
+
+        if unroll > 1:
+            def run_body(s):
+                for _ in range(unroll):
+                    # identity on finished lanes, so extra applications
+                    # cannot double-process an attempt
+                    s = _tree_select(s.done, s, loop_body(s))
+                return s
+        else:
+            run_body = loop_body
+        final = jax.lax.while_loop(lambda s: ~s.done, run_body, state)
         # The selected state's gradient (the mass estimator's score,
         # adaptive_walnuts.hpp:247; the reference caches it per span,
         # SpanW::grad_select_, walnuts.hpp:121-124) was cached from the

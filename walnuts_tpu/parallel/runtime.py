@@ -133,6 +133,7 @@ def run_warmup(
     bf16_ends: bool = False,
     checkpoint=None,
     start_it: int = 0,
+    unroll: int = 1,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -149,7 +150,8 @@ def run_warmup(
     """
     state = shard_chains(state, mesh)
     warmup_step = make_warmup_step(
-        logp_grad, sampling_cfg, integrator=integrator, bf16_ends=bf16_ends
+        logp_grad, sampling_cfg, integrator=integrator, bf16_ends=bf16_ends,
+        unroll=unroll,
     )
     vstep = jax.vmap(warmup_step)
 
@@ -244,6 +246,7 @@ def run_sampling(
     start_it: int = 0,
     thin: int = 1,
     keep_dims=None,
+    unroll: int = 1,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -319,7 +322,8 @@ def run_sampling(
     state = shard_chains(state, mesh)
     params = shard_chains(params, mesh)
     sample_step = make_sample_step(
-        logp_grad, sampling_cfg, integrator=integrator, bf16_ends=bf16_ends
+        logp_grad, sampling_cfg, integrator=integrator, bf16_ends=bf16_ends,
+        unroll=unroll,
     )
     vstep = jax.vmap(sample_step)
 
