@@ -259,3 +259,51 @@ class TestDeviceDraws:
         assert isinstance(d2, jax.Array)
         np.testing.assert_array_equal(d1, np.asarray(d2))
         np.testing.assert_array_equal(l1, np.asarray(l2))
+
+
+def test_thin_device_draws_with_odd_blocks():
+    """A min_iter clamp can produce a block whose length is not a thin
+    multiple; the device cube must stay gap-free (regression: the
+    iteration-derived write offset left a zero row when it == max_iter)."""
+    from walnuts_tpu.core.adapt import nutpie_init_mass
+    from walnuts_tpu.core.sampler import freeze_params, init_sample_state
+    from walnuts_tpu.models import std_normal
+    from walnuts_tpu.ops.math import make_logp_grad
+    from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
+
+    logp, dim = std_normal(2)
+    lg = make_logp_grad(logp)
+    wcfg = WarmupConfig(min_iter=4, max_iter=4, block_size=4)
+    n_chains = 4
+
+    def pipe(thin):
+        # inputs rebuilt per run: run_warmup donates its state buffers
+        base = jax.random.key(7)
+        keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(
+            jnp.arange(n_chains))
+        th0 = jax.random.normal(jax.random.fold_in(base, 1), (n_chains, dim))
+        grads = jax.vmap(lambda t: lg(t)[1])(th0)
+        mass = jax.vmap(lambda g: nutpie_init_mass(g, jnp.asarray(1e-5)))(grads)
+        s0 = jnp.full((n_chains,), 0.5, th0.dtype)
+        # min_iter=3 with block_size=4 clamps the first block to 3
+        # iterations (not a thin=2 multiple); rhat tol ~1 disables early
+        # stopping so the full 3+3 block sequence runs
+        scfg = SamplingConfig(min_iter=3, max_iter=6, block_size=4,
+                              rhat_converge_tol=1.0 + 1e-12)
+        ws = jax.vmap(
+            lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+        )(keys, th0, mass, s0)
+        ws, _, _, _ = run_warmup(lg, ws, wcfg, scfg)
+        params = jax.vmap(freeze_params)(ws)
+        ss = jax.vmap(init_sample_state)(ws)
+        _, d, _, _ = run_sampling(lg, ss, params, scfg,
+                                  device_draws=True, thin=thin)
+        return np.asarray(d)
+
+    full = pipe(1)
+    thinned = pipe(2)
+    assert full.shape[0] == 6
+    # blocks of 3 and 3: within-block 2nd draws are global rows 1 and 4
+    assert thinned.shape[0] == 2
+    np.testing.assert_array_equal(full[[1, 4]], thinned)
+    assert np.all(thinned != 0)  # no zero-row gap

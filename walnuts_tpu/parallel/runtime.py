@@ -416,6 +416,7 @@ def run_sampling(
     # 4096-chain flagship the 6.6 GB cube duplicated is what killed the
     # TPU worker in round 2.
     dev_draws_buf = dev_logps_buf = None
+    dev_rows = 0  # thinned rows written into the device cube
     if device_draws:
         @partial(jax.jit, donate_argnums=(0,))
         def _write_block(buf, block, start):
@@ -469,10 +470,14 @@ def run_sampling(
                     dev_logps_buf = jnp.zeros(
                         (n_left,) + logp.shape[1:], logp.dtype
                     )
-                dev_draws_buf = _write_block(
-                    dev_draws_buf, theta, (it - n - start_it) // thin)
-                dev_logps_buf = _write_block(
-                    dev_logps_buf, logp, (it - n - start_it) // thin)
+                # write at the cumulative thinned-row count, NOT at
+                # (it - start_it) // thin: a block whose length is not a
+                # thin multiple (min_iter clamp / max_iter remainder)
+                # yields floor(n/thin) rows, and the iteration-derived
+                # offset would then leave a zero-row gap in the cube
+                dev_draws_buf = _write_block(dev_draws_buf, theta, dev_rows)
+                dev_logps_buf = _write_block(dev_logps_buf, logp, dev_rows)
+                dev_rows += theta.shape[0]
             else:
                 _flush_pending()
                 pending = (theta, logp)
@@ -513,11 +518,11 @@ def run_sampling(
     if device_draws:
         if dev_draws_buf is None:
             draws = logps = np.empty((0,))
-        elif it == sampling_cfg.max_iter:
+        elif dev_rows == dev_draws_buf.shape[0]:
             draws, logps = dev_draws_buf, dev_logps_buf
         else:  # early stop / interrupt: return only the filled prefix
-            draws = dev_draws_buf[: (it - start_it) // thin]
-            logps = dev_logps_buf[: (it - start_it) // thin]
+            draws = dev_draws_buf[:dev_rows]
+            logps = dev_logps_buf[:dev_rows]
     else:
         draws = np.concatenate(draws_host, axis=0) if draws_host else np.empty((0,))
         logps = np.concatenate(logps_host, axis=0) if logps_host else np.empty((0,))
