@@ -93,6 +93,25 @@ class TestWalnutsStan:
         assert out[0].stepsize > 0
         assert out[0].inv_metric.shape == (3,)
 
+    def test_checkpoint_resume_through_ffi(self, tmp_path):
+        """Checkpoint/resume composes with the FFI model path: a rerun
+        on the finished checkpoint replays the identical constrained
+        draws without resampling."""
+        import numpy as np
+
+        from walnuts_tpu.models.stan import walnuts_stan
+
+        kwargs = dict(
+            seed=5, num_chains=2,
+            min_warmup_iter=12, max_warmup_iter=12,
+            min_sampling_iter=12, max_sampling_iter=12,
+            block_size=4, checkpoint_dir=str(tmp_path / "ck"),
+        )
+        first = walnuts_stan(FAKE_SO, **kwargs)
+        second = walnuts_stan(FAKE_SO, **kwargs)
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a.data, b.data)
+
     def test_abi_model_eight_schools_parity(self):
         """A nontrivial BridgeStan-ABI model (csrc/abi_models.cpp eight
         schools, matching targets.eight_schools exactly): the FFI path
