@@ -235,9 +235,13 @@ def main():
             _ess_per_sec(model, n_chains, warmup_iters, sampling_iters, seed=2026)
         )
 
-    value = float(np.exp(np.mean(
-        [np.log(r["ess_per_sec"]) for r in results if r["model"] != "sv"]
-    )))
+    # headline = geomean over the funnel+logreg subset; with an explicit
+    # BENCH_MODELS override that excludes both, fall back to the geomean
+    # over whatever ran (never an empty mean -> NaN -> invalid JSON)
+    vals = [np.log(r["ess_per_sec"]) for r in results if r["model"] != "sv"]
+    if not vals:
+        vals = [np.log(r["ess_per_sec"]) for r in results]
+    value = float(np.exp(np.mean(vals))) if vals else None
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")

@@ -114,6 +114,101 @@ class TestCheckpoint:
                 a.warmup.warmup_draws, b.warmup.warmup_draws
             )
 
+    def test_early_stopped_sampling_does_not_extend_on_rerun(self, tmp_path):
+        """A run that early-stopped on R-hat at K < max_iter must return
+        the SAME K draws when re-invoked with the same checkpoint_dir —
+        not resume at K and keep sampling (the restored converged flag)."""
+        kwargs = dict(
+            min_sampling_iter=4, max_sampling_iter=12, rhat_converge_tol=1e6
+        )
+        first = run(tmp_path / "ck", **kwargs)
+        assert np.asarray(first[0]).shape[0] == 4  # early-stopped
+        second = run(tmp_path / "ck", **kwargs)
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_crash_after_converged_warmup_does_not_keep_adapting(
+        self, tmp_path, monkeypatch
+    ):
+        """A crash between the final converged warmup checkpoint and the
+        sampling phase-transition save must resume with warmup already
+        converged (frozen params unchanged), not adapt further."""
+        kwargs = dict(
+            min_warmup_iter=4, max_warmup_iter=12,
+            mass_converge_tol=1e6, step_size_converge_tol=1e6,
+        )
+        plain = run(**kwargs)
+        assert plain[0].warmup.warmup_draws.shape[0] == 4  # converged early
+
+        real_run_warmup = api_mod.run_warmup
+
+        def crashing_run_warmup(*args, **kw):
+            real_run_warmup(*args, **kw)
+            raise RuntimeError("simulated preemption")
+
+        monkeypatch.setattr(api_mod, "run_warmup", crashing_run_warmup)
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            run(tmp_path / "ck", **kwargs)
+        monkeypatch.setattr(api_mod, "run_warmup", real_run_warmup)
+
+        resumed = run(tmp_path / "ck", **kwargs)
+        for a, b in zip(plain, resumed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert a.warmup.stepsize == b.warmup.stepsize
+
+    def test_changed_seed_refuses_resume(self, tmp_path):
+        """resume=True with changed run arguments must NOT replay the old
+        checkpoint (the meta fingerprint mismatch starts the run over)."""
+        run(tmp_path / "ck", seed=77)
+        with pytest.warns(UserWarning, match="different run arguments"):
+            fresh = run(tmp_path / "ck", seed=78)
+        oracle = run(seed=78)
+        for a, b in zip(oracle, fresh):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("crash_mid_compaction", [False, True])
+    def test_keep_last_n_compaction(
+        self, tmp_path, monkeypatch, crash_mid_compaction
+    ):
+        """keep_last_n bounds the block-file count without dropping draws;
+        a crash that leaves both the consolidated file and a not-yet-
+        deleted merged file still resumes to the exact draws."""
+        import os
+
+        plain = run()
+        ckdir = tmp_path / "ck"
+        if crash_mid_compaction:
+            from walnuts_tpu.parallel import checkpoint as ck_mod
+
+            real_remove = os.remove
+            state = {"crashed": False}
+
+            def failing_remove(path):
+                # die before deleting the first merged leftover, once
+                if "blocks" in str(path) and not state["crashed"]:
+                    state["crashed"] = True
+                    raise RuntimeError("simulated crash mid-compaction")
+                real_remove(path)
+
+            monkeypatch.setattr(ck_mod.os, "remove", failing_remove)
+            with pytest.raises(RuntimeError, match="mid-compaction"):
+                run(ckdir, checkpoint_keep_last_n=1)
+            monkeypatch.setattr(ck_mod.os, "remove", real_remove)
+            # the leftover merged file overlaps the consolidated one
+            resumed = run(ckdir, checkpoint_keep_last_n=1)
+        else:
+            run(ckdir, checkpoint_keep_last_n=2)
+            blocks = os.listdir(ckdir / "blocks")
+            for phase in ("warmup", "sampling"):
+                n = sum(1 for b in blocks if b.startswith(phase))
+                assert n <= 2, f"{phase}: {n} block files survived compaction"
+            resumed = run(ckdir, checkpoint_keep_last_n=2)
+        for a, b in zip(plain, resumed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(
+                a.warmup.warmup_draws, b.warmup.warmup_draws
+            )
+
     def test_resume_false_starts_over(self, tmp_path):
         first = run(tmp_path / "ck")
         fresh = run(tmp_path / "ck", resume=False, seed=78)

@@ -85,6 +85,7 @@ def walnuts(
     flatten: bool = False,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
+    checkpoint_keep_last_n: Optional[int] = None,
     resume: bool = True,
     thin: int = 1,
     keep_dims=None,
@@ -155,7 +156,13 @@ def walnuts(
     latest checkpoint — mid-warmup or mid-sampling — reproducing the
     exact draws an uninterrupted run would have produced (the PRNG keys
     are part of the state). Incompatible with ``chain_groups``/
-    ``flatten``. Pass ``resume=False`` to start over.
+    ``flatten``. Pass ``resume=False`` to start over. A checkpoint
+    written under different run arguments (seed, iteration counts, thin,
+    ...) is refused with a warning and the run starts over.
+    ``checkpoint_keep_last_n`` bounds the per-phase block-file count by
+    compacting older blocks into one file (no draws are dropped);
+    ``checkpoint_every > 1`` additionally pipelines the device->host draw
+    transfers behind the sampler.
     """
     dtype = dtype or _default_dtype()
     if num_params is None:
@@ -164,6 +171,8 @@ def walnuts(
         init_shape = np.shape(inits)
         num_params = init_shape[1] if len(init_shape) == 2 else init_shape[0]
 
+    user_seed = seed  # None = auto-generated (recorded as such in the
+    # checkpoint fingerprint: not reproducible, so resume stays allowed)
     seed = prepare_seed(seed)
     base_key = jax.random.key(seed)
     chain_ids = np.arange(id, id + num_chains)
@@ -301,7 +310,27 @@ def walnuts(
     if checkpoint_dir is not None:
         from walnuts_tpu.parallel.checkpoint import BlockCheckpointer
 
-        ckpt = BlockCheckpointer(checkpoint_dir, every=checkpoint_every)
+        # The fingerprint pins every argument that changes which draws a
+        # run produces; resume refuses a checkpoint written under
+        # different arguments (it would silently replay the old run). An
+        # auto-generated seed (seed=None) is recorded as None: such runs
+        # are not reproducible by construction, so any same-shape
+        # checkpoint may resume.
+        fingerprint = {
+            "seed": None if user_seed is None else int(seed),
+            "num_chains": int(num_chains),
+            "num_params": int(num_params),
+            "warmup_iter": [int(min_warmup_iter), int(max_warmup_iter)],
+            "sampling_iter": [int(min_sampling_iter), int(max_sampling_iter)],
+            "thin": int(thin),
+            "keep_dims": None if keep_dims is None else [int(k) for k in keep_dims],
+            "dtype": jnp.dtype(dtype).name,
+            "block_size": int(block_size),
+        }
+        ckpt = BlockCheckpointer(
+            checkpoint_dir, every=checkpoint_every,
+            keep_last_n=checkpoint_keep_last_n, fingerprint=fingerprint,
+        )
         if resume:
             resume_meta = ckpt.latest()
         if resume_meta is None:
@@ -328,14 +357,18 @@ def walnuts(
                 )
         else:
             start_warmup = 0
+            warmup_info = None
             if resume_meta is not None and resume_meta["phase"] == "warmup":
-                wstate, _, _ = ckpt.restore(wstate)
+                # keep the restored RunInfo so counters (and the
+                # converged_warmup flag, which must stop a resumed warmup
+                # that had already converged) cover the whole run
+                wstate, _, warmup_info = ckpt.restore(wstate)
                 start_warmup = resume_meta["it"]
             wstate, warmup_draws, warmup_logps, info = run_warmup(
                 logp_grad, wstate, warmup_cfg, sampling_cfg,
                 save_warmup=save_warmup, mesh=mesh, progress=progress,
                 integrator=integrator, bf16_ends=bf16_ends,
-                checkpoint=ckpt, start_it=start_warmup,
+                checkpoint=ckpt, start_it=start_warmup, info=warmup_info,
             )
             if ckpt is not None and start_warmup and save_warmup:
                 prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)

@@ -79,15 +79,45 @@ class BlockCheckpointer:
     every fourth. Draw blocks produced since the last state save are
     buffered in memory and flushed with it, so a resumed run never has
     draws newer than its state (it regenerates them deterministically).
+    Buffered blocks stay device arrays with an async device->host copy in
+    flight until :meth:`save` materializes them, so with ``every > 1`` the
+    device never idles on the transfer (with ``every == 1`` every block
+    still saves synchronously — raise ``every`` to pipeline).
+
+    ``keep_last_n`` bounds the block-file count per phase: when more than
+    ``keep_last_n`` files exist, the older ones are COMPACTED into a
+    single consolidated ``.npz`` (no data is dropped — resumed runs still
+    reassemble every draw). Compaction is crash-safe: the consolidated
+    file atomically replaces the oldest merged file first, and
+    :meth:`saved_blocks` skips any leftover merged file whose iteration
+    range the consolidated file already covers.
+
+    ``fingerprint`` (any JSON-serializable value) records the run
+    configuration; :meth:`latest` refuses to resume — returns ``None``
+    with a warning, so the caller starts over — when the stored
+    fingerprint differs (e.g. the seed or iteration counts changed but
+    ``resume=True`` was left set).
     """
 
-    def __init__(self, directory: str, every: int = 1):
+    def __init__(
+        self,
+        directory: str,
+        every: int = 1,
+        keep_last_n: Optional[int] = None,
+        fingerprint=None,
+    ):
         if every < 1:
             raise ValueError(f"checkpoint every must be >= 1; got {every}")
+        if keep_last_n is not None and keep_last_n < 1:
+            raise ValueError(
+                f"checkpoint keep_last_n must be >= 1; got {keep_last_n}"
+            )
         self.directory = os.path.abspath(directory)
         self.every = every
+        self.keep_last_n = keep_last_n
+        self.fingerprint = fingerprint
         self._blocks_since_save = 0
-        self._pending: List[Tuple[str, int, np.ndarray, np.ndarray]] = []
+        self._pending: List[Tuple[str, int, int, Any, Any]] = []
         os.makedirs(os.path.join(self.directory, "blocks"), exist_ok=True)
 
     def reset(self) -> None:
@@ -117,23 +147,32 @@ class BlockCheckpointer:
     ) -> None:
         """Record one finished block; checkpoint state every ``every``."""
         if theta is not None:
-            self._pending.append(
-                (phase, block_start, np.asarray(theta), np.asarray(logp))
-            )
+            # keep the device arrays and start the host copy in the
+            # background; np.asarray here would stall the device on every
+            # block (materialized in save() instead)
+            for x in (theta, logp):
+                try:
+                    x.copy_to_host_async()
+                except AttributeError:
+                    pass  # plain numpy / backends without async copy
+            self._pending.append((phase, block_start, it, theta, logp))
         self._blocks_since_save += 1
         if self._blocks_since_save >= self.every:
             self.save(phase, it, state, info, params=params)
 
     def save(self, phase: str, it: int, state, info, params=None) -> None:
         """Write a durable checkpoint: draw blocks, state slot, meta."""
-        for ph, start, theta, logp in self._pending:
+        touched_phases = set()
+        for ph, start, end, theta, logp in self._pending:
             np.savez(
                 os.path.join(
                     self.directory, "blocks", f"{ph}_{start:08d}.npz"
                 ),
-                theta=theta,
-                logp=logp,
+                theta=np.asarray(theta),
+                logp=np.asarray(logp),
+                end=np.asarray(end),
             )
+            touched_phases.add(ph)
         self._pending.clear()
         self._blocks_since_save = 0
 
@@ -156,10 +195,83 @@ class BlockCheckpointer:
             "has_params": params is not None,
             "info": _info_to_dict(info),
         }
+        if self.fingerprint is not None:
+            new_meta["fingerprint"] = self.fingerprint
         tmp = os.path.join(self.directory, "meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(new_meta, f)
         os.replace(tmp, os.path.join(self.directory, "meta.json"))
+
+        # Compaction runs strictly AFTER the meta write: a consolidated
+        # file must never span past the durable checkpoint iteration, or
+        # a crash mid-compaction would make resume double-count draws.
+        if self.keep_last_n is not None:
+            for ph in touched_phases:
+                self._compact(ph)
+
+    def update_info(self, phase: str, it: int, info) -> None:
+        """Rewrite the RunInfo in meta.json for an existing checkpoint.
+
+        The convergence flags are decided AFTER the block whose save wrote
+        the meta (the controller check runs on the finished block), so the
+        runtime calls this when a phase ends to persist the final flags —
+        a resumed early-stopped run must see ``converged=True`` and stay
+        stopped. A no-op unless the durable checkpoint is exactly at
+        ``(phase, it)`` (otherwise resume re-runs the tail
+        deterministically and recomputes the same flags).
+        """
+        meta = self._read_meta()
+        if meta is None or meta["phase"] != phase or meta["it"] != int(it):
+            return
+        meta["info"] = _info_to_dict(info)
+        tmp = os.path.join(self.directory, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.directory, "meta.json"))
+
+    def _block_files(self, phase: str) -> List[Tuple[int, str]]:
+        """Sorted ``(start_iter, filename)`` of this phase's block files."""
+        bdir = os.path.join(self.directory, "blocks")
+        out = []
+        for n in os.listdir(bdir):
+            if n.startswith(f"{phase}_") and n.endswith(".npz"):
+                out.append((int(n[len(phase) + 1 : -4]), n))
+        return sorted(out)
+
+    def _compact(self, phase: str) -> None:
+        """Merge all but the last ``keep_last_n`` block files into one.
+
+        Crash-safe ordering: the consolidated file atomically REPLACES the
+        oldest merged file (same name, now covering the whole merged
+        iteration range via its stored ``end``), then the remaining merged
+        files are unlinked. A crash in between leaves files whose range
+        the consolidated one covers; ``saved_blocks`` skips those.
+        """
+        files = self._block_files(phase)
+        if len(files) <= self.keep_last_n:
+            return
+        merge = files[: len(files) - self.keep_last_n + 1]
+        if len(merge) < 2:
+            return
+        bdir = os.path.join(self.directory, "blocks")
+        thetas, logps, end = [], [], merge[0][0]
+        for start, name in merge:
+            if start < end and thetas:
+                continue  # leftover of a crashed compaction, already covered
+            with np.load(os.path.join(bdir, name)) as z:
+                thetas.append(z["theta"])
+                logps.append(z["logp"])
+                end = int(z["end"]) if "end" in z else start + z["theta"].shape[0]
+        tmp = os.path.join(bdir, ".compact.tmp.npz")
+        np.savez(
+            tmp,
+            theta=np.concatenate(thetas, axis=0),
+            logp=np.concatenate(logps, axis=0),
+            end=np.asarray(end),
+        )
+        os.replace(tmp, os.path.join(bdir, merge[0][1]))
+        for _, name in merge[1:]:
+            os.remove(os.path.join(bdir, name))
 
     # -- read path -------------------------------------------------------
 
@@ -171,8 +283,31 @@ class BlockCheckpointer:
             return json.load(f)
 
     def latest(self) -> Optional[dict]:
-        """Metadata of the latest durable checkpoint, or None."""
-        return self._read_meta()
+        """Metadata of the latest durable checkpoint, or None.
+
+        Returns ``None`` (with a warning) when the stored run fingerprint
+        differs from this checkpointer's — resuming a checkpoint written
+        under different run arguments would silently replay the old run.
+        """
+        meta = self._read_meta()
+        if (
+            meta is not None
+            and self.fingerprint is not None
+            and meta.get("fingerprint") is not None
+            and meta["fingerprint"] != self.fingerprint
+        ):
+            import warnings
+
+            warnings.warn(
+                "checkpoint in "
+                f"{self.directory} was written with different run "
+                "arguments (stored fingerprint "
+                f"{meta['fingerprint']!r} != {self.fingerprint!r}); "
+                "ignoring it and starting over",
+                stacklevel=3,
+            )
+            return None
+        return meta
 
     def restore(self, state_template, params_template=None):
         """Restore ``(state, params, info)`` into the given templates."""
@@ -200,21 +335,30 @@ class BlockCheckpointer:
         self, phase: str, upto_it: int
     ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
         """Concatenated ``(draws, logps)`` for saved blocks of ``phase``
-        with start iteration < ``upto_it`` (the checkpointed position)."""
+        with start iteration < ``upto_it`` (the checkpointed position).
+
+        Skips any file whose start a previously read (consolidated) file
+        already covers — the leftover state of a crash mid-compaction.
+        """
         bdir = os.path.join(self.directory, "blocks")
-        names = sorted(
-            n
-            for n in os.listdir(bdir)
-            if n.startswith(f"{phase}_") and n.endswith(".npz")
-        )
         thetas, logps = [], []
-        for n in names:
-            start = int(n[len(phase) + 1 : -4])
-            if start >= upto_it:
+        covered_end = -1
+        for start, n in self._block_files(phase):
+            if start >= upto_it or start < covered_end:
                 continue
             with np.load(os.path.join(bdir, n)) as z:
-                thetas.append(z["theta"])
-                logps.append(z["logp"])
+                theta, logp = z["theta"], z["logp"]
+                end = int(z["end"]) if "end" in z else start + 1
+                if end > upto_it:
+                    # a consolidated file can span past the resume point
+                    # (compaction on the resumed run merges freely); take
+                    # only the rows for iterations < upto_it. Rows map
+                    # linearly onto [start, end) (uniform thinning).
+                    k = theta.shape[0] * (upto_it - start) // (end - start)
+                    theta, logp = theta[:k], logp[:k]
+                thetas.append(theta)
+                logps.append(logp)
+                covered_end = end
         if not thetas:
             return None, None
         return np.concatenate(thetas, axis=0), np.concatenate(logps, axis=0)

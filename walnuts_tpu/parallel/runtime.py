@@ -134,6 +134,7 @@ def run_warmup(
     checkpoint=None,
     start_it: int = 0,
     unroll: int = 1,
+    info: Optional[RunInfo] = None,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -147,6 +148,10 @@ def run_warmup(
     is persisted between blocks, and ``start_it`` (a block boundary from a
     restored checkpoint) resumes mid-warmup — the returned draws cover
     ``[start_it, end)`` only; earlier blocks live in the checkpoint.
+    ``info`` carries the RunInfo restored alongside the state so counters
+    (and the ``converged_warmup`` flag — a warmup that already converged
+    must not keep adapting on resume) span the whole run, not just the
+    resumed tail.
     """
     state = shard_chains(state, mesh)
     warmup_step = make_warmup_step(
@@ -164,11 +169,14 @@ def run_warmup(
 
     stats = jax.jit(_warmup_convergence_stats)
 
-    info = RunInfo()
+    info = info or RunInfo()
     draws_host: List[np.ndarray] = []
     logps_host: List[np.ndarray] = []
     it = start_it
-    converged = False
+    # A resumed run that had already converged (the checkpointed flag)
+    # must not keep adapting past convergence — that would change the
+    # frozen parameters vs the uninterrupted run.
+    converged = bool(info.converged_warmup) if start_it > 0 else False
 
     def check() -> bool:
         mrm, mrs = stats(state)
@@ -219,6 +227,10 @@ def run_warmup(
 
     info.warmup_iters = it
     info.converged_warmup = converged
+    if checkpoint is not None and not info.interrupted:
+        # persist the final convergence flag (decided after the last
+        # block's save): a resumed converged warmup must not keep adapting
+        checkpoint.update_info("warmup", it, info)
     info.n_halve_fail = np.asarray(state.fails.n_halve_fail)
     info.n_nonfinite = np.asarray(state.fails.n_nonfinite)
     info.n_depth_exhausted = np.asarray(state.fails.n_depth_exhausted)
@@ -427,7 +439,10 @@ def run_sampling(
     draws_host: List[np.ndarray] = []
     logps_host: List[np.ndarray] = []
     it = start_it
-    converged = False
+    # A resumed run that had already early-stopped on R-hat must stay
+    # stopped: re-invoking with the same checkpoint_dir would otherwise
+    # extend the chain past the documented completed-run output.
+    converged = bool(info.converged_sampling) if start_it > 0 else False
     # Host collection is PIPELINED: a finished block's device->host copy
     # is started asynchronously and materialized only after the NEXT
     # block has been dispatched, so the (slow) host link transfers while
@@ -511,6 +526,11 @@ def run_sampling(
     _flush_pending()  # materialize the last block's async copy
     info.sampling_iters = it
     info.converged_sampling = converged
+    if checkpoint is not None and not info.interrupted:
+        # persist the final R-hat convergence flag (see run_warmup): a
+        # re-invoked early-stopped run must return the same draws, not
+        # resume sampling past the stop point
+        checkpoint.update_info("sampling", it, info)
     info.n_grads = np.asarray(state.n_grads)
     info.n_halve_fail = np.asarray(state.fails.n_halve_fail)
     info.n_nonfinite = np.asarray(state.fails.n_nonfinite)
