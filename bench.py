@@ -94,10 +94,18 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # draws stay device-resident during the timed loop (the C++ baseline's
     # in-RAM stores are likewise ~free); the host transfer is timed
     # separately below
+    # batched-native scheduler (core/batched.py): the default for the
+    # divergent-cost models where it is the measured winner; BENCH_BATCHED
+    # / BENCH_BGROUPS / BENCH_RUNAHEAD / BENCH_T2K override.
+    batched = bool(int(os.environ.get("BENCH_BATCHED", 1))) and groups == 1
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
         chain_groups=groups, device_draws=True, bf16_ends=bf16,
         flatten=bool(int(os.environ.get("BENCH_FLATTEN", 0))) and groups == 1,
+        batched=batched,
+        batched_groups=int(os.environ.get("BENCH_BGROUPS", 8)) if batched else 1,
+        runahead=int(os.environ.get("BENCH_RUNAHEAD", 8)),
+        tier2_every=int(os.environ.get("BENCH_T2K", 6)),
         unroll=unroll,
     )
     jax.block_until_ready((sstate, draws))

@@ -173,8 +173,66 @@ struct Model {
   }
 };
 
+#elif defined(ABI_MODEL_MATRIX)
+// Structured-parameter model: a positive scalar, a 2-vector, and a 2x3
+// MATRIX, reported with BridgeStan's column-major dotted names
+// (sigma, v.1, v.2, M.1.1, M.2.1, M.1.2, M.2.2, M.1.3, M.2.3). Exists to
+// exercise the stanio-equivalent nested-name parsing + create_inits
+// round trip (reference stan.py:108-145) on non-vector parameters; also
+// implements bs_param_unconstrain_json (Stan JSON is ROW-major for
+// matrices, the unconstrained vector is column-major).
+constexpr int kDim = 9;
+struct Model {
+  std::string names = "sigma,v.1,v.2,M.1.1,M.2.1,M.1.2,M.2.2,M.1.3,M.2.3";
+  Model(const char*) {}
+  int dim() const { return kDim; }
+  double logp_grad(const double* q, double* g) const {
+    double lp = 0.0;
+    for (int d = 0; d < kDim; ++d) {
+      g[d] = -q[d];
+      lp -= 0.5 * q[d] * q[d];
+    }
+    return lp;
+  }
+  void constrain(const double* unc, double* con) const {
+    con[0] = std::exp(unc[0]);  // sigma > 0
+    for (int d = 1; d < kDim; ++d) con[d] = unc[d];
+  }
+  // Stan-JSON inits -> unconstrained vector. Minimal parser: locate each
+  // key, then read the next N numeric literals (nesting brackets carry
+  // no extra information for fixed-size variables).
+  static const char* read_doubles(const char* p, double* out, int n) {
+    int i = 0;
+    while (i < n && *p) {
+      while (*p && !((*p >= '0' && *p <= '9') || *p == '-')) ++p;
+      if (!*p) break;
+      char* end = nullptr;
+      out[i++] = std::strtod(p, &end);
+      p = end;
+    }
+    return i == n ? p : nullptr;
+  }
+  int unconstrain_json(const char* json, double* unc) const {
+    const char* ps = std::strstr(json, "\"sigma\"");
+    const char* pv = std::strstr(json, "\"v\"");
+    const char* pm = std::strstr(json, "\"M\"");
+    if (!ps || !pv || !pm) return 1;
+    double sigma;
+    if (!read_doubles(ps + 7, &sigma, 1) || sigma <= 0.0) return 1;
+    unc[0] = std::log(sigma);
+    if (!read_doubles(pv + 3, unc + 1, 2)) return 1;
+    double m_row_major[6];
+    if (!read_doubles(pm + 3, m_row_major, 6)) return 1;
+    for (int r = 0; r < 2; ++r)
+      for (int c = 0; c < 3; ++c)
+        unc[3 + c * 2 + r] = m_row_major[r * 3 + c];
+    return 0;
+  }
+};
+#define ABI_HAS_UNCONSTRAIN 1
+
 #else
-#error "define one of ABI_MODEL_{ILL_GAUSS,EIGHT_SCHOOLS,FUNNEL,LOGREG}"
+#error "define one of ABI_MODEL_{ILL_GAUSS,EIGHT_SCHOOLS,FUNNEL,LOGREG,MATRIX}"
 #endif
 
 }  // namespace
@@ -224,6 +282,15 @@ int bs_param_constrain(const void* m, bool /*tp*/, bool /*gq*/,
   static_cast<const Model*>(m)->constrain(unc, con);
   return 0;
 }
+
+#if defined(ABI_HAS_UNCONSTRAIN)
+int bs_param_unconstrain_json(const void* m, const char* json, double* unc,
+                              char** err) {
+  int rc = static_cast<const Model*>(m)->unconstrain_json(json, unc);
+  if (rc && err) *err = dup_msg("unconstrain: bad inits JSON");
+  return rc;
+}
+#endif
 
 void* bs_rng_construct(unsigned int seed, char** /*err*/) {
   return new FakeRng{seed};

@@ -1,0 +1,214 @@
+"""Batched-native sampling block: bitwise equivalence to the classic path.
+
+The batched scheduler (``core/batched.py``) re-schedules the SAME Markov
+chain — one key split per attempt, leaf uniforms from the leaf-completing
+attempt's subkey, a 3-way split per trajectory start — so for every
+run-ahead depth B and tier-2 amortisation K the emitted draws, log
+densities, depths, and end-of-block PRNG keys must equal the classic
+vmapped sampler's bitwise (CPU, f64). This is the strongest possible
+correctness oracle: any scheduling bug that touches the chain (a stale
+parked lane, a clobbered buffer slot, a mis-masked tier-2 write) breaks
+exact equality somewhere in a funnel batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from walnuts_tpu.config import SamplingConfig, WarmupConfig
+from walnuts_tpu.core.adapt import nutpie_init_mass
+from walnuts_tpu.core.batched import make_batched_sample_block
+from walnuts_tpu.core.sampler import (
+    freeze_params,
+    init_sample_state,
+    init_warmup_state,
+    make_sample_step,
+)
+from walnuts_tpu.models import funnel
+from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
+from walnuts_tpu.parallel.runtime import run_warmup
+
+C = 16
+DRAWS = 30
+
+
+@pytest.fixture(scope="module")
+def warmed():
+    """A realistically adapted funnel state (warmup via the normal path)."""
+    logp, dim = funnel(11)
+    lg = make_logp_grad(logp)
+    wcfg = WarmupConfig(min_iter=40, max_iter=40, block_size=20)
+    scfg = SamplingConfig(
+        min_iter=DRAWS, max_iter=DRAWS, block_size=DRAWS, max_step_halvings=8
+    )
+    base = jax.random.key(7)
+    keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(jnp.arange(C))
+    theta0 = 2.0 * jax.random.normal(jax.random.fold_in(base, 99), (C, dim))
+    grads = jax.vmap(lambda t: lg(t)[1])(theta0)
+    im0 = jax.vmap(lambda g: nutpie_init_mass(g, jnp.asarray(1e-5)))(grads)
+    step0 = jax.jit(
+        jax.vmap(lambda k, t, m: adapt_step_size(k, lg, t, m, jnp.asarray(1.0)))
+    )(keys, theta0, im0)
+    ws = jax.vmap(
+        lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+    )(keys, theta0, im0, step0)
+    ws, _, _, _ = run_warmup(lg, ws, wcfg, scfg)
+    params = jax.vmap(freeze_params)(ws)
+    ss = jax.vmap(init_sample_state)(ws)
+
+    sstep = make_sample_step(lg, scfg)
+    vstep = jax.vmap(sstep)
+
+    def classic(ss):
+        def body(s, _):
+            s, res = vstep(s, params)
+            return s, (res.theta, res.logp, res.depth)
+
+        return jax.lax.scan(body, ss, None, length=DRAWS)
+
+    ss_end, (th, lp, dep) = jax.jit(classic)(jax.tree.map(jnp.array, ss))
+    return dict(
+        lg=lg, scfg=scfg, params=params, ss=ss,
+        classic=(np.asarray(th), np.asarray(lp), np.asarray(dep),
+                 np.asarray(jax.random.key_data(ss_end.key)),
+                 np.asarray(ss_end.n_grads - ss.n_grads)),
+    )
+
+
+def run_batched(warmed, B, K, num_draws=DRAWS):
+    lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
+    ss = jax.tree.map(jnp.array, warmed["ss"])
+    start_block, sample_block = make_batched_sample_block(
+        lg,
+        scfg.max_trajectory_doublings,
+        scfg.max_step_halvings,
+        runahead=B,
+        tier2_every=K,
+    )
+
+    @jax.jit
+    def blk(ss):
+        st = start_block(
+            ss.key, ss.theta, ss.n_grads, ss.fails,
+            params.step_size, params.inv_mass, params.min_micro,
+        )
+        return sample_block(
+            st, params.step_size, params.inv_mass, params.min_micro,
+            jnp.asarray(scfg.max_hamiltonian_error), num_draws,
+        )
+
+    return blk(ss)
+
+
+class TestBatchedBitwise:
+    @pytest.mark.parametrize(
+        "B,K", [(1, 0), (8, 0), (8, 4), (16, 2), (4, 12), (64, 6)]
+    )
+    def test_draws_bitwise_equal_classic(self, warmed, B, K):
+        th, lp, dep, key_data, _ = warmed["classic"]
+        res = run_batched(warmed, B, K)
+        np.testing.assert_array_equal(th, np.asarray(res.draws))
+        np.testing.assert_array_equal(lp, np.asarray(res.logps))
+        np.testing.assert_array_equal(dep, np.asarray(res.depths))
+        # end-of-block keys identical -> the NEXT block (classic or
+        # batched) continues the same stream
+        np.testing.assert_array_equal(
+            key_data, np.asarray(jax.random.key_data(res.key))
+        )
+
+    def test_gradient_accounting(self, warmed):
+        """The batched path saves exactly one cached gradient per draw
+        after the first (the classic path re-evaluates the start point,
+        walnuts.hpp:531-532); everything else must match."""
+        _, _, _, _, classic_grads = warmed["classic"]
+        res = run_batched(warmed, 8, 6)
+        # n_grads_delta is sample_block's own work; adding start_block's
+        # one entry evaluation gives classic minus the (DRAWS - 1)
+        # cached trajectory-start gradients
+        batched = np.asarray(res.n_grads_delta) + 1
+        np.testing.assert_array_equal(batched, classic_grads - (DRAWS - 1))
+
+    def test_trip_counters_bound_padding(self, warmed):
+        """Executed trips are at least the max-lane gradient count (the
+        scheduling floor) and finite."""
+        res = run_batched(warmed, 8, 6)
+        trips = int(res.n_inner_trips)
+        per_lane = np.asarray(res.n_grads_delta)
+        assert trips >= per_lane.max() - 1
+        assert int(res.n_outer_trips) > 0
+
+
+class TestBatchedRuntime:
+    """run_sampling(batched=...) must reproduce the classic runtime's
+    draws bitwise, including with dynamic cost-sorted groups and across
+    multiple blocks (the block boundary re-enters like the classic
+    path), and compose with thin/checkpointing."""
+
+    @pytest.fixture(scope="class")
+    def classic_run(self, warmed):
+        from walnuts_tpu.config import SamplingConfig
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg = SamplingConfig(
+            min_iter=24, max_iter=24, block_size=8, max_step_halvings=8
+        )
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        state, draws, logps, info = run_sampling(
+            warmed["lg"], ss, warmed["params"], scfg
+        )
+        return scfg, np.asarray(draws), np.asarray(logps)
+
+    @pytest.mark.parametrize("groups", [1, 2, 4])
+    def test_matches_classic_across_blocks(self, warmed, classic_run, groups):
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg, draws_c, logps_c = classic_run
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        state, draws, logps, info = run_sampling(
+            warmed["lg"], ss, warmed["params"], scfg,
+            batched=True, batched_groups=groups, runahead=4, tier2_every=3,
+        )
+        np.testing.assert_array_equal(draws_c, np.asarray(draws))
+        np.testing.assert_array_equal(logps_c, np.asarray(logps))
+
+    def test_thin_and_device_draws(self, warmed, classic_run):
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg, draws_c, _ = classic_run
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        _, draws, _, _ = run_sampling(
+            warmed["lg"], ss, warmed["params"], scfg,
+            batched=True, batched_groups=2, thin=2, device_draws=True,
+        )
+        np.testing.assert_array_equal(draws_c[1::2], np.asarray(draws))
+
+    def test_incompatible_options(self, warmed):
+        from walnuts_tpu.config import SamplingConfig
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg = SamplingConfig(min_iter=8, max_iter=8, block_size=8)
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        with pytest.raises(ValueError):
+            run_sampling(warmed["lg"], ss, warmed["params"], scfg,
+                         batched=True, flatten=True)
+        with pytest.raises(ValueError):
+            run_sampling(warmed["lg"], ss, warmed["params"], scfg,
+                         batched_groups=2)
+
+    def test_api_batched_end_to_end(self):
+        """walnuts(batched=True, batched_groups=2) returns the same draws
+        as the classic scheduler through the full public API."""
+        from walnuts_tpu import walnuts
+        from walnuts_tpu.models import funnel as funnel_model
+
+        logp, dim = funnel_model(5)
+        kw = dict(
+            num_params=dim, num_chains=8, seed=31,
+            min_warmup_iter=20, max_warmup_iter=20,
+            min_sampling_iter=16, max_sampling_iter=16, block_size=8,
+        )
+        classic = walnuts(logp, **kw)
+        batched = walnuts(logp, batched=True, batched_groups=2, **kw)
+        for a, b in zip(classic, batched):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

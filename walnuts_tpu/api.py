@@ -83,6 +83,10 @@ def walnuts(
     integrator=None,
     bf16_ends: bool = False,
     flatten: bool = False,
+    batched: bool = False,
+    batched_groups: int = 1,
+    runahead: int = 8,
+    tier2_every: int = 6,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     checkpoint_keep_last_n: Optional[int] = None,
@@ -123,6 +127,15 @@ def walnuts(
       per-draw synchronisation (measured slower on v5e; see
       docs/ROADMAP.md for the ring-buffer extension), so it is off by
       default.
+    - ``batched``: batched-native sampling scheduler
+      (:mod:`walnuts_tpu.core.batched`) — leaf-latched integration with
+      amortised orbit bookkeeping (``tier2_every`` trips per pass) and a
+      ``runahead``-deep run-ahead draw buffer; ``batched_groups > 1``
+      re-sorts chains every block by realized gradient cost and runs the
+      groups sequentially. Draws are bitwise identical to the classic
+      scheduler per chain; the fastest path measured on
+      divergent-trajectory models (funnel, SV) at large chain counts
+      (docs/BENCHMARKS.md). Sampling phase only; single device.
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
@@ -397,6 +410,8 @@ def walnuts(
                 chain_groups=chain_groups, integrator=integrator,
                 bf16_ends=bf16_ends,
                 flatten=flatten and chain_groups == 1,
+                batched=batched, batched_groups=batched_groups,
+                runahead=runahead, tier2_every=tier2_every,
                 checkpoint=ckpt, start_it=start_sampling,
                 thin=thin, keep_dims=keep_dims,
             )
@@ -451,6 +466,16 @@ def walnuts_pyfunc(
     a raising callable or a nonzero C return code becomes ``logp=-inf,
     grad=0`` (the NoExceptLogpGrad trap, util.hpp:336-346). Prefer a
     JAX-traceable density with :func:`walnuts`.
+
+    The callback is BATCHED (``vmap_method="expand_dims"``): the whole
+    vmapped chain batch crosses to the host in ONE round trip per
+    leapfrog step and the model is evaluated row by row on the host —
+    the same batching the Stan bridge uses
+    (``models/stan.py:logp_grad_batch``) and the analog of the
+    reference's in-process callback (pyfunc.py:215-227, which pays one
+    GIL acquisition per call from each worker thread). Measured ~30x
+    faster than the previous one-callback-per-chain trampoline at 64
+    chains (tests/test_pyfunc.py).
     """
     import ctypes
 
@@ -473,69 +498,64 @@ def walnuts_pyfunc(
     if cfunc is not None:
         c_double_p = ctypes.POINTER(ctypes.c_double)
 
-        def host_logp(theta_np: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-            theta64 = np.ascontiguousarray(theta_np, dtype=np.float64)
-            grad = np.zeros_like(theta64)
+        def eval_row(row: np.ndarray, grad_out: np.ndarray) -> float:
             lp = ctypes.c_double()
             rc = cfunc(
-                theta64.size,
-                theta64.ctypes.data_as(c_double_p),
-                grad.ctypes.data_as(c_double_p),
+                row.size,
+                row.ctypes.data_as(c_double_p),
+                grad_out.ctypes.data_as(c_double_p),
                 ctypes.byref(lp),
                 data_ref,
             )
             if rc != 0:  # error code -> rejected proposal
-                return (
-                    np.asarray(-np.inf, dtype=np.float64),
-                    np.zeros(theta_np.shape, dtype=np.float64),
-                )
-            return np.asarray(lp.value, dtype=np.float64), grad
+                grad_out[:] = 0.0
+                return -np.inf
+            return lp.value
     else:
-        def host_logp(theta_np: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        def eval_row(row: np.ndarray, grad_out: np.ndarray) -> float:
             try:
-                lp, grad = logp(np.asarray(theta_np, dtype=np.float64))
-                return (
-                    np.asarray(lp, dtype=np.float64),
-                    np.asarray(grad, dtype=np.float64),
-                )
+                lp, grad = logp(row)
+                grad_out[:] = np.asarray(grad, dtype=np.float64)
+                return float(lp)
             except Exception:
                 # the NoExceptLogpGrad trap (util.hpp:336-346)
-                return (
-                    np.asarray(-np.inf, dtype=np.float64),
-                    np.zeros(theta_np.shape, dtype=np.float64),
-                )
+                grad_out[:] = 0.0
+                return -np.inf
 
-    def traced_logp(theta: Array) -> Array:
-        lp, _ = jax.pure_callback(
+    def host_logp(theta_np: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        # one host call for the WHOLE batch: leading vmap dims flattened,
+        # model evaluated per row (the unbatched call is a (D,) row)
+        th = np.ascontiguousarray(theta_np, dtype=np.float64)
+        flat = th.reshape(-1, th.shape[-1])
+        lps = np.empty(flat.shape[0], dtype=np.float64)
+        grads = np.empty_like(flat)
+        for i in range(flat.shape[0]):
+            lps[i] = eval_row(flat[i], grads[i])
+        return lps.reshape(th.shape[:-1]), grads.reshape(th.shape)
+
+    def callback(theta: Array):
+        return jax.pure_callback(
             host_logp,
             (
-                jax.ShapeDtypeStruct((), theta.dtype),
+                jax.ShapeDtypeStruct(theta.shape[:-1], theta.dtype),
                 jax.ShapeDtypeStruct(theta.shape, theta.dtype),
             ),
             theta,
-            vmap_method="sequential",
+            vmap_method="expand_dims",
         )
-        return lp
 
     # Autodiff cannot see through the callback: wire the callback's own
     # gradient in with custom_vjp-free value_and_grad replacement.
     @jax.custom_jvp
     def logp_fn(theta: Array) -> Array:
-        return traced_logp(theta)
+        lp, _ = callback(theta)
+        return lp
 
     @logp_fn.defjvp
     def _logp_jvp(primals, tangents):
         (theta,), (dtheta,) = primals, tangents
-        lp, grad = jax.pure_callback(
-            host_logp,
-            (
-                jax.ShapeDtypeStruct((), theta.dtype),
-                jax.ShapeDtypeStruct(theta.shape, theta.dtype),
-            ),
-            theta,
-            vmap_method="sequential",
-        )
-        return lp, jnp.sum(grad * dtheta)
+        lp, grad = callback(theta)
+        return lp, jnp.sum(grad * dtheta, axis=-1)
 
     return walnuts(logp_fn, **kwargs)
 

@@ -7,49 +7,58 @@ reversibility level). Under SPMD that costs two kinds of padding, both
 measured on funnel(101) x 4096 chains (docs/BENCHMARKS.md):
 
   * per-draw synchronisation: every draw waits for the per-draw max lane
-    (232 gradient slots vs a 19.7 mean — 11.8x), while the max-lane TOTAL
-    over a long run is only 3.9x the mean;
-  * attempt misalignment: the expensive full-state bookkeeping body runs
-    ``max over lanes of attempt count`` times, and the cheap inner
-    integration loop pads to ``sum over attempts of the max attempt
-    length`` — lanes with many short attempts and lanes with few long
-    attempts pad each other multiplicatively.
+    (13.4x the mean gradient count), while the max-lane TOTAL over a
+    50-draw window is only 5.9x the mean;
+  * per-attempt bookkeeping: the full-state masked update body runs
+    ``max over lanes of attempt count`` times per draw.
 
 This module rebuilds the sampling block with the chain axis scheduled
 explicitly (the reference's thread-per-chain runtime, adapt.hpp:79-146 /
-sampler.hpp:47-103, re-imagined for lockstep SPMD rather than translated):
+sampler.hpp:47-103, re-imagined for lockstep SPMD rather than
+translated). Three scheduling decisions, each driven by a measured
+cost/padding probe (docs/BENCHMARKS.md round 3):
 
   * the halving / reversibility state machine (``macro_step``,
     walnuts.hpp:307-345, and ``reversible``, walnuts.hpp:254-279) moves
-    INTO the integration loop as masked per-lane scalar transitions, so
-    the loop synchronises on whole LEAVES, not attempts: one trip = one
-    batched gradient; the heavy orbit bookkeeping (merge cascade,
-    reservoir, top-level combine — walnuts.hpp:368-387, 464-495, 520-563)
-    runs once per leaf instead of once per attempt;
+    INTO the integration loop as masked per-lane scalar transitions. One
+    trip = one batched gradient plus O(1) rows of masked state — the
+    heavy orbit bookkeeping ("tier 2": merge cascade, reservoir,
+    top-level combine — walnuts.hpp:368-387, 464-495, 520-563) runs only
+    every ``tier2_every`` trips, with lanes LATCHING a completed leaf and
+    idling at most K-1 trips (a strict leaf barrier was measured to pad
+    the integration loop 28x vs the 6.7x window floor, because leaf
+    lengths vary from 1 to ``2^max_step_halvings`` steps);
   * a lane that finishes a trajectory banks the draw in a B-deep
     run-ahead buffer and starts the next trajectory IMMEDIATELY; draws
     are emitted in order by a ``lax.scan`` reading buffer slot
     ``r mod B``. A lane only parks when it is B draws ahead of the
-    emission cursor, so the per-draw max-lane padding relaxes toward the
-    max over B-draw windows (measured ~6x at B=16 vs 11.8x per-draw).
-    The buffer is written with B static-unrolled masked row updates — an
-    XLA scatter at this shape costs ~430 us on v5e (measured, serialized)
-    vs ~2 us per masked row, which is why the buffer is small and the
-    ring is NOT draw-count deep;
-  * lane liveness, loop continuation, and convergence all reduce with
-    ``jnp.any`` over the chain axis — under a mesh these lower to ICI
-    collectives exactly like the classic path's.
+    emission cursor, relaxing the per-draw max-lane padding toward the
+    B-draw-window max. The buffer is written with masked row updates —
+    an XLA scatter at this shape costs ~430 us on v5e (measured,
+    serialized) vs ~2 us per masked row, which is why the buffer is
+    small and the ring is NOT draw-count deep;
+  * per-trip RNG is one key split per attempt end; the three uniforms a
+    leaf consumes (reservoir, top-level Metropolis, direction —
+    walnuts.hpp:368-387, 547, 552) are NOT generated in the integration
+    loop: the leaf-completing attempt's subkey is latched as raw key
+    data and the uniforms are derived in tier 2, one batched threefry
+    per K trips instead of one per trip (a threefry costs a full
+    leapfrog at this shape: 31 us vs 33 us, measured).
+
+Lane liveness, loop continuation, and convergence all reduce with
+``jnp.any`` over the chain axis — under a mesh these lower to ICI
+collectives exactly like the classic path's.
 
 RNG parity: the per-lane key-consumption schedule is IDENTICAL to the
-classic path (one split per attempt, a 3-uniform draw per body
-application consumed at leaf completion, a 3-way split + momentum normal
+classic path (one split per attempt, the leaf-completing attempt's
+subkey feeding the three leaf uniforms, a 3-way split + momentum normal
 + direction bernoulli per trajectory start), so on CPU the emitted draws
-are BITWISE EQUAL to the classic sampler's — the scheduling changes, the
-Markov chain does not (guarded by tests/test_batched.py). Two deliberate
-accounting differences: the fresh gradient evaluation the reference pays
-at every trajectory start (walnuts.hpp:531-532) is cached from the
-previous draw's selected state within a block (the draw VALUES are
-unchanged — the gradient of the same point is deterministic — only
+are BITWISE EQUAL to the classic sampler's for every (B, K) — the
+scheduling changes, the Markov chain does not (tests/test_batched.py).
+Two deliberate accounting differences: the fresh gradient evaluation the
+reference pays at every trajectory start (walnuts.hpp:531-532) is cached
+from the previous draw's selected state within a block (the draw VALUES
+are unchanged — the gradient of the same point is deterministic — only
 ``n_grads`` drops by one per draw), and blocks do not run ahead into the
 next block (the carried ``SampleState`` stays interchangeable with the
 classic path, so checkpoint/resume and the R-hat controller work
@@ -58,7 +67,7 @@ unchanged).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +83,6 @@ from walnuts_tpu.core.transition import (
     _THETA_FW,
     _THETA_SEL,
     FailStats,
-    span_from_point,
 )
 from walnuts_tpu.ops.math import (
     LogpGradFn,
@@ -91,27 +99,27 @@ _PH_REV = 1
 
 
 class LaneState(NamedTuple):
-    """Per-lane (single chain) state; the batched state has a leading
-    chain axis on every leaf (built with ``jax.vmap``)."""
+    """Per-lane (single chain) state with a leading chain axis on every
+    leaf. Vector rows are ``(C, D)`` or stacked ``(C, k, D)``."""
 
-    # --- persistent orbit state (touched once per LEAF) ---
+    # --- persistent orbit state (touched once per LEAF, in tier 2) ---
     key: Array
     depth: Array           # int32, current doubling (1-based)
     out_depth: Array       # int32, reported depth at termination
-    acc_v: Array           # (5, D) accumulated orbit vectors
-    acc_s: Array           # (4,) accumulated orbit scalars
-    acc_grad_bk: Array     # (D,)
-    acc_grad_sel: Array    # (D,)
-    acc_grad_fw: Array     # (D,)
+    acc_v: Array           # (C, 5, D) accumulated orbit vectors
+    acc_s: Array           # (C, 4) accumulated orbit scalars
+    acc_grad_bk: Array     # (C, D)
+    acc_grad_sel: Array    # (C, D)
+    acc_grad_fw: Array     # (C, D)
     forward: Array         # bool
     leaf_idx: Array        # int32
     n_leaves: Array        # int32
-    stack_e: Array         # (max_depth-1, 2, D)
-    run_sel: Array         # (D,)
+    stack_e: Array         # (C, max_depth-1, 2, D)
+    run_sel: Array         # (C, D)
     run_sel_logp: Array
-    run_sel_grad: Array    # (D,)
+    run_sel_grad: Array    # (C, D)
     run_logw: Array
-    ms: Array              # (3, D) macro(leaf)-step start [theta, rho, grad]
+    ms: Array              # (C, 3, D) leaf-start [theta, rho, grad]
     ms_joint: Array
     # --- attempt machine (advanced inside the integration loop) ---
     halvings: Array        # int32
@@ -119,15 +127,16 @@ class LaneState(NamedTuple):
     steps_done: Array      # int32
     steps_total: Array     # int32
     phase: Array           # int32
-    cur: Array             # (3, D) cursor [theta, rho, grad]
+    cur: Array             # (C, 3, D) cursor [theta, rho, grad]
     lp_cur: Array          # position log density at the cursor
-    fwd: Array             # (3, D) saved forward endpoint
+    fwd: Array             # (C, 3, D) saved forward endpoint
     fwd_logp_pos: Array
     fwd_joint: Array
     # --- leaf outcome latches (set by the inner loop, read by tier 2) ---
     leaf_done: Array       # bool
     leaf_ok: Array         # bool (accept; False at leaf_done = leaf fail)
-    unifs: Array           # (3,) uniforms of the leaf-completing attempt
+    ku: Array              # (C, ...) raw key data of the leaf-completing
+                           # attempt's subkey (uniforms derived in tier 2)
     # --- counters / block bookkeeping ---
     n_grads: Array         # int32
     fails: FailStats
@@ -141,71 +150,21 @@ class BatchedBlockResult(NamedTuple):
     key: Array             # (C,) end-of-block PRNG keys
     n_grads_delta: Array   # (C,) gradients used this block
     fails_delta: FailStats
-
-
-def _start_trajectory(key, theta, logp0, grad0, step, inv_mass, min_micro,
-                      n_slots: int, max_depth: int, n_grads, fails,
-                      draws_done, stack_e):
-    """Fresh per-lane trajectory state from a known starting point.
-
-    Matches ``init_state`` (core/transition.py) in values AND in RNG
-    consumption: one 3-way key split, one D-normal momentum, one
-    direction bernoulli (walnuts.hpp:528-529 via transition_w). The merge
-    stack is passed through unzeroed — its slots are always written
-    before the leaf cascade reads them (``leaf_idx`` restarts at 0).
-    """
-    dtype = theta.dtype
-    key, k_mom, k_dir = jax.random.split(key, 3)
-    z = jax.random.normal(k_mom, theta.shape, dtype=dtype)
-    rho = z / jnp.sqrt(inv_mass)
-    joint0 = logp0 + logp_momentum(rho, inv_mass)
-    acc_v, acc_s = span_from_point(theta, rho, logp0, joint0)
-    forward0 = jax.random.bernoulli(k_dir)
-    dt0 = jnp.where(forward0, step, -step)
-    start = jnp.stack([theta, rho, grad0])
-    return LaneState(
-        key=key,
-        depth=jnp.int32(1),
-        out_depth=jnp.int32(max_depth + 1),
-        acc_v=acc_v,
-        acc_s=acc_s,
-        acc_grad_bk=grad0,
-        acc_grad_sel=grad0,
-        acc_grad_fw=grad0,
-        forward=forward0,
-        leaf_idx=jnp.int32(0),
-        n_leaves=jnp.int32(1),
-        stack_e=stack_e,
-        run_sel=theta,
-        run_sel_logp=logp0,
-        run_sel_grad=grad0,
-        run_logw=jnp.asarray(-jnp.inf, dtype=dtype),
-        ms=start,
-        ms_joint=joint0,
-        halvings=jnp.int32(0),
-        dt=dt0,
-        steps_done=jnp.int32(0),
-        steps_total=jnp.asarray(min_micro, jnp.int32),
-        phase=jnp.int32(_PH_FWD),
-        cur=start,
-        lp_cur=logp0,
-        fwd=start,
-        fwd_logp_pos=logp0,
-        fwd_joint=joint0,
-        leaf_done=jnp.asarray(False),
-        leaf_ok=jnp.asarray(False),
-        unifs=jnp.zeros((3,), dtype=dtype),
-        n_grads=n_grads,
-        fails=fails,
-        draws_done=draws_done,
-    )
+    # exact executed-trip counters (the explicit batch loops make these
+    # measurable, unlike vmapped whiles): one inner trip = one batched
+    # gradient evaluation for the whole chain batch; one tier-2 pass =
+    # one leaf-level bookkeeping sweep. padding = C * n_inner_trips /
+    # sum(used grads) is the SPMD waste this scheduler minimises.
+    n_inner_trips: Array   # int32 scalar
+    n_outer_trips: Array   # int32 scalar
 
 
 def make_batched_sample_block(
     logp_grad: LogpGradFn,
     max_depth: int,
     max_step_halvings: int,
-    runahead: int = 16,
+    runahead: int = 8,
+    tier2_every: int = 6,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -217,12 +176,15 @@ def make_batched_sample_block(
       num_draws)``: advances every lane by exactly ``num_draws`` draws,
       returning a :class:`BatchedBlockResult`. ``num_draws`` is static.
 
-    ``runahead`` is B, the run-ahead depth (buffer rows); higher relaxes
-    the per-draw synchronisation toward the lane-total floor at the cost
-    of ``B * C * D`` floats of carried buffer.
+    ``runahead`` is B, the run-ahead depth (buffer rows). ``tier2_every``
+    is K, the tier-2 amortisation (see the module docstring); K=0
+    restores a strict leaf barrier. The emitted draws are bitwise
+    identical for every (B, K): scheduling never touches the per-lane
+    Markov chain.
     """
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
+    K = int(tier2_every)
 
     vsplit = jax.vmap(lambda k: jax.random.split(k))
     vsplit3 = jax.vmap(lambda k: jax.random.split(k, 3))
@@ -232,26 +194,80 @@ def make_batched_sample_block(
     )
     vlogp_grad = jax.vmap(logp_grad)
 
-    def start_block(key, theta, n_grads, fails, step, inv_mass, min_micro):
-        logp0, grad0 = vlogp_grad(theta)
+    def _fresh_trajectory(key, theta, logp0, grad0, step, inv_mass):
+        """Per-batch fresh-trajectory ingredients (``transition_w`` entry,
+        walnuts.hpp:528-535, minus the gradient evaluation): one 3-way
+        key split, momentum ~ N(0, M), direction bernoulli. Returns the
+        pieces; the caller merges them into the lane state masked on the
+        lanes actually restarting (so the RNG stream advances exactly as
+        the classic per-draw entry does)."""
         dtype = theta.dtype
-        stack0 = jnp.zeros(
-            (theta.shape[0], n_slots, 2, theta.shape[1]), dtype=dtype
+        ks = vsplit3(key)  # (C, 3) keys
+        z = jax.vmap(
+            lambda k, sh=theta.shape[1:]: jax.random.normal(k, sh, dtype)
+        )(ks[:, 1])
+        rho0 = z / jnp.sqrt(inv_mass)
+        joint0 = logp0 + jax.vmap(logp_momentum)(rho0, inv_mass)
+        forward0 = jax.vmap(jax.random.bernoulli)(ks[:, 2])
+        dt0 = jnp.where(forward0, step, -step)
+        start = jnp.stack([theta, rho0, grad0], axis=1)  # (C, 3, D)
+        return ks[:, 0], rho0, joint0, forward0, dt0, start
+
+    def start_block(key, theta, n_grads, fails, step, inv_mass, min_micro):
+        dtype = theta.dtype
+        C, D = theta.shape
+        logp0, grad0 = vlogp_grad(theta)
+        knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
+            key, theta, logp0, grad0, step, inv_mass
         )
-        return jax.vmap(
-            lambda k, t, l0, g0, st, im, mm, ng, fl, se: _start_trajectory(
-                k, t, l0, g0, st, im, mm, n_slots, max_depth,
-                ng, fl, jnp.int32(0), se,
-            )
-        )(key, theta, logp0, grad0, step, inv_mass, min_micro,
-          # the block-entry gradient is fresh (and counted), exactly like
-          # the classic path's transition entry (walnuts.hpp:531-532)
-          n_grads + 1, fails, stack0)
+        acc_v = jnp.stack([theta, rho0, theta, rho0, theta], axis=1)
+        acc_s = jnp.stack([joint0, joint0, logp0, joint0], axis=1)
+        return LaneState(
+            key=knew,
+            depth=jnp.ones((C,), jnp.int32),
+            out_depth=jnp.full((C,), max_depth + 1, jnp.int32),
+            acc_v=acc_v,
+            acc_s=acc_s,
+            acc_grad_bk=grad0,
+            acc_grad_sel=grad0,
+            acc_grad_fw=grad0,
+            forward=forward0,
+            leaf_idx=jnp.zeros((C,), jnp.int32),
+            n_leaves=jnp.ones((C,), jnp.int32),
+            stack_e=jnp.zeros((C, n_slots, 2, D), dtype),
+            run_sel=theta,
+            run_sel_logp=logp0,
+            run_sel_grad=grad0,
+            run_logw=jnp.full((C,), -jnp.inf, dtype),
+            ms=start,
+            ms_joint=joint0,
+            halvings=jnp.zeros((C,), jnp.int32),
+            dt=dt0,
+            steps_done=jnp.zeros((C,), jnp.int32),
+            steps_total=jnp.asarray(min_micro, jnp.int32),
+            phase=jnp.zeros((C,), jnp.int32),
+            cur=start,
+            lp_cur=logp0,
+            # fwd/fwd_logp_pos/fwd_joint are never read before a passing
+            # forward attempt writes them (same latent-garbage contract
+            # as the classic path's span fields) — initialised to the
+            # start point only to give them a shape
+            fwd=start,
+            fwd_logp_pos=logp0,
+            fwd_joint=joint0,
+            leaf_done=jnp.zeros((C,), bool),
+            leaf_ok=jnp.zeros((C,), bool),
+            ku=jax.random.key_data(knew),
+            # the block-entry gradient is fresh (and counted), exactly
+            # like the classic transition entry (walnuts.hpp:531-532)
+            n_grads=n_grads + 1,
+            fails=fails,
+            draws_done=jnp.zeros((C,), jnp.int32),
+        )
 
     # ------------------------------------------------------------------
-    # inner loop: one batched gradient per trip; the attempt machine
-    # (halvings, reversibility levels) advances as masked per-lane scalar
-    # transitions. Exits when every ACTIVE lane has completed its leaf.
+    # integration trip: one batched gradient + the attempt machine
+    # (halvings / reversibility levels) as masked scalar transitions.
     # ------------------------------------------------------------------
     def inner_trip(s: LaneState, active, inv_mass, min_micro, max_error):
         dtype = s.ms_joint.dtype
@@ -267,13 +283,13 @@ def make_batched_sample_block(
         att_done = run & (steps_done >= s.steps_total)
         joint_n = lp_cur + jax.vmap(logp_momentum)(cur[:, 1], inv_mass)
 
-        # one key split per attempt (classic body, transition.py)
+        # one key split per attempt end (classic body, transition.py);
+        # the subkey's RAW DATA is latched at leaf completion and turned
+        # into the three leaf uniforms in tier 2 — a threefry costs a
+        # whole leapfrog at this shape, so it must not run per trip
         ks = vsplit(s.key)
         key = jnp.where(att_done, ks[:, 0], s.key)
-        k_u = ks[:, 1]
-        u3 = jax.vmap(
-            lambda k: jax.random.uniform(k, (3,), dtype=dtype)
-        )(k_u)
+        ku_new = jax.random.key_data(ks[:, 1])
 
         in_fwd = s.phase == _PH_FWD
         # forward attempt completed (macro_step, walnuts.hpp:322-343)
@@ -302,7 +318,9 @@ def make_batched_sample_block(
         fwd_joint = jnp.where(set_fwd, joint_n, s.fwd_joint)
 
         leaf_end = leaf_ok_now | leaf_fail_now
-        unifs = jnp.where(leaf_end[:, None], u3, s.unifs)
+        extra = s.ku.ndim - leaf_end.ndim
+        ku = jnp.where(leaf_end.reshape(leaf_end.shape + (1,) * extra),
+                       ku_new, s.ku)
         leaf_done = s.leaf_done | leaf_end
         leaf_ok = jnp.where(leaf_end, leaf_ok_now, s.leaf_ok)
 
@@ -313,8 +331,8 @@ def make_batched_sample_block(
             n_depth_exhausted=s.fails.n_depth_exhausted,
         )
 
-        # next-attempt setup (reads pre-update steps_total/dt, like the
-        # classic body's where-cascade)
+        # next-attempt setup (reads pre-update steps_total/dt, matching
+        # the classic body's where-cascade)
         to_rev = start_rev | next_rev
         halvings = jnp.where(restart, s.halvings + 1, s.halvings)
         steps_total = jnp.where(
@@ -334,26 +352,35 @@ def make_batched_sample_block(
             fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
             halvings=halvings, dt=dt, steps_done=steps_done,
             steps_total=steps_total, phase=phase,
-            leaf_done=leaf_done, leaf_ok=leaf_ok, unifs=unifs,
+            leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku,
             n_grads=n_grads, fails=fails,
         )
 
     # ------------------------------------------------------------------
-    # tier 2: per-lane orbit bookkeeping at a completed leaf — the merge
-    # cascade + reservoir + top-level combine of the classic body
-    # (transition.py; walnuts.hpp:368-387, 464-495, 536-558) — plus draw
-    # completion and fused trajectory restart.
+    # tier 2: leaf-level orbit bookkeeping for every LATCHED lane — the
+    # merge cascade + reservoir + top-level combine of the classic body
+    # (walnuts.hpp:368-387, 464-495, 536-558) — plus draw banking and
+    # fused trajectory restart. Every lane field is written in ONE
+    # where-chain (restart / continue / unchanged), not a base update
+    # plus an overlay: this pass runs every K trips and its row traffic
+    # is the measured cost ceiling of the whole scheduler.
     # ------------------------------------------------------------------
     def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
                    block_draws):
-        """One leaf-level update per ACTIVE lane. Returns the new state;
-        completion (banked draw) is handled by the caller via the
-        returned ``complete``/emission values."""
         dtype = s.ms_joint.dtype
         leaf_ok = active & s.leaf_done & s.leaf_ok
         leaf_fail = active & s.leaf_done & ~s.leaf_ok
         fwd, fwd_joint, fwd_logp_pos = s.fwd, s.fwd_joint, s.fwd_logp_pos
-        unifs = s.unifs
+
+        # the three leaf uniforms, derived from the latched subkey (one
+        # batched threefry per pass; identical values to the classic
+        # body's per-attempt uniforms at the leaf-completing attempt)
+        impl = jax.random.key_impl(s.key)
+        unifs = jax.vmap(
+            lambda kd: jax.random.uniform(
+                jax.random.wrap_key_data(kd, impl=impl), (3,), dtype=dtype
+            )
+        )(s.ku)
 
         leaf_th, leaf_rho = fwd[:, 0], fwd[:, 1]
         sgn = jnp.where(s.forward, jnp.asarray(1.0, dtype),
@@ -365,6 +392,9 @@ def make_batched_sample_block(
                 jnp.sum(old_rho * delta, axis=-1) < 0
             )
 
+        # merge cascade: sub-U-turn checks against the stacked older-side
+        # endpoints (build_span, walnuts.hpp:490-494); static slot
+        # indices, masked selects (see transition.py)
         n_merges = count_trailing_zeros(s.leaf_idx + 1)
         cur_end = fwd[:, :2]
         ok = jnp.ones_like(leaf_ok)
@@ -380,25 +410,20 @@ def make_batched_sample_block(
         new_leaf_idx = s.leaf_idx + 1
         subtree_done = leaf_ok & (new_leaf_idx >= s.n_leaves)
         push = leaf_ok & ~subtree_done
-        write_mask = push[None, :] & (
-            n_merges[None, :]
-            == jax.lax.broadcasted_iota(jnp.int32, (n_slots, 1), 0)
-        )  # (n_slots, C)
+        write_mask = push[:, None] & (
+            n_merges[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, n_slots), 1)
+        )  # (C, n_slots)
         stack_e = jnp.where(
-            jnp.moveaxis(write_mask, 1, 0)[:, :, None, None],
-            cur_end[:, None], s.stack_e,
+            write_mask[:, :, None, None], cur_end[:, None], s.stack_e
         )
 
         # reservoir (streaming Barker; see transition.py module docstring)
         run_logw_new = log_sum_exp(s.run_logw, fwd_joint)
         take_leaf = jnp.log(unifs[:, 0]) < fwd_joint - run_logw_new
         upd = leaf_ok & take_leaf
-        run_sel = jnp.where(upd[:, None], fwd[:, 0], s.run_sel)
-        run_sel_logp = jnp.where(upd, fwd_logp_pos, s.run_sel_logp)
-        run_sel_grad = jnp.where(upd[:, None], fwd[:, 2], s.run_sel_grad)
-        run_logw = jnp.where(leaf_ok, run_logw_new, s.run_logw)
 
-        # subtree completed: top-level Metropolis + combined U-turn
+        # top-level Metropolis + combined U-turn on subtree completion
         acc_old = jnp.where(
             s.forward[:, None, None],
             s.acc_v[:, _THETA_BK:_RHO_BK + 1],
@@ -409,24 +434,6 @@ def make_batched_sample_block(
         upd_fw = subtree_done & s.forward
         upd_bk = subtree_done & ~s.forward
         take = subtree_done & take_new
-        acc_v = jnp.stack([
-            jnp.where(upd_bk[:, None], fwd[:, 0], s.acc_v[:, _THETA_BK]),
-            jnp.where(upd_bk[:, None], fwd[:, 1], s.acc_v[:, _RHO_BK]),
-            jnp.where(upd_fw[:, None], fwd[:, 0], s.acc_v[:, _THETA_FW]),
-            jnp.where(upd_fw[:, None], fwd[:, 1], s.acc_v[:, _RHO_FW]),
-            jnp.where(take[:, None], run_sel, s.acc_v[:, _THETA_SEL]),
-        ], axis=1)
-        acc_s = jnp.stack([
-            jnp.where(upd_bk, fwd_joint, s.acc_s[:, _LOGP_BK]),
-            jnp.where(upd_fw, fwd_joint, s.acc_s[:, _LOGP_FW]),
-            jnp.where(take, run_sel_logp, s.acc_s[:, _LOGP_SEL]),
-            jnp.where(subtree_done,
-                      log_sum_exp(s.acc_s[:, _LOGW], run_logw_new),
-                      s.acc_s[:, _LOGW]),
-        ], axis=1)
-        acc_grad_fw = jnp.where(upd_fw[:, None], fwd[:, 2], s.acc_grad_fw)
-        acc_grad_bk = jnp.where(upd_bk[:, None], fwd[:, 2], s.acc_grad_bk)
-        acc_grad_sel = jnp.where(take[:, None], run_sel_grad, s.acc_grad_sel)
         end_uturn = subtree_done & ut_top
         new_depth = s.depth + 1
         deeper = subtree_done & ~ut_top & (new_depth <= max_depth)
@@ -434,89 +441,141 @@ def make_batched_sample_block(
 
         fail = leaf_fail | sub_uturn
         complete = fail | end_uturn | exhausted
-        fails = s.fails._replace(
-            n_depth_exhausted=s.fails.n_depth_exhausted
-            + exhausted.astype(jnp.int32)
-        )
         out_depth = jnp.where(
             fail | end_uturn, s.depth,
             jnp.where(exhausted, jnp.int32(max_depth + 1), s.out_depth),
         )
 
-        # --- continuing lanes: start the next leaf ---
-        new_dir = jnp.where(deeper, unifs[:, 2] < 0.5, s.forward)
-        run_logw = jnp.where(deeper, jnp.asarray(-jnp.inf, dtype), run_logw)
-        depth = jnp.where(deeper, new_depth, s.depth)
-        n_leaves = jnp.where(deeper, jnp.int32(1) << (new_depth - 1),
-                             s.n_leaves)
-        leaf_idx = jnp.where(deeper, jnp.int32(0), new_leaf_idx)
-        leaf_idx = jnp.where(leaf_ok | deeper, leaf_idx, s.leaf_idx)
+        # run-selection values AFTER this leaf (pre-restart)
+        run_sel_v = jnp.where(upd[:, None], fwd[:, 0], s.run_sel)
+        run_sel_logp_v = jnp.where(upd, fwd_logp_pos, s.run_sel_logp)
+        run_sel_grad_v = jnp.where(upd[:, None], fwd[:, 2], s.run_sel_grad)
 
-        acc_end = jnp.stack([
-            jnp.where(new_dir[:, None], acc_v[:, _THETA_FW],
-                      acc_v[:, _THETA_BK]),
-            jnp.where(new_dir[:, None], acc_v[:, _RHO_FW],
-                      acc_v[:, _RHO_BK]),
-            jnp.where(new_dir[:, None], acc_grad_fw, acc_grad_bk),
-        ], axis=1)
-        acc_end_joint = jnp.where(new_dir, acc_s[:, _LOGP_FW],
-                                  acc_s[:, _LOGP_BK])
-        ms = jnp.where(deeper[:, None, None], acc_end,
-                       jnp.where(push[:, None, None], fwd, s.ms))
-        ms_joint = jnp.where(deeper, acc_end_joint,
-                             jnp.where(push, fwd_joint, s.ms_joint))
-        dt_base = jnp.where(new_dir, step, -step)
+        # emitted draw values (the selected state of the combined orbit)
+        sel_theta = jnp.where(take[:, None], run_sel_v,
+                              s.acc_v[:, _THETA_SEL])
+        sel_logp = jnp.where(take, run_sel_logp_v, s.acc_s[:, _LOGP_SEL])
+        sel_grad = jnp.where(take[:, None], run_sel_grad_v, s.acc_grad_sel)
 
-        cont = active & s.leaf_done & ~complete
-        mid = s._replace(
-            depth=depth, out_depth=out_depth,
-            acc_v=acc_v, acc_s=acc_s,
-            acc_grad_bk=acc_grad_bk, acc_grad_fw=acc_grad_fw,
-            acc_grad_sel=acc_grad_sel,
-            forward=new_dir, leaf_idx=leaf_idx, n_leaves=n_leaves,
-            stack_e=stack_e, run_sel=run_sel, run_sel_logp=run_sel_logp,
-            run_sel_grad=run_sel_grad, run_logw=run_logw,
-            ms=ms, ms_joint=ms_joint,
-            halvings=jnp.where(cont, jnp.int32(0), s.halvings),
-            dt=jnp.where(cont, dt_base, s.dt),
-            steps_done=jnp.where(cont, jnp.int32(0), s.steps_done),
-            steps_total=jnp.where(cont, min_micro, s.steps_total),
-            phase=jnp.where(cont, jnp.int32(_PH_FWD), s.phase),
-            cur=jnp.where(cont[:, None, None], ms, s.cur),
-            leaf_done=jnp.where(active & s.leaf_done, False, s.leaf_done),
-            leaf_ok=jnp.where(active & s.leaf_done, False, s.leaf_ok),
-            fails=fails,
-        )
-
-        # --- completing lanes: bank the draw, restart a trajectory ---
-        sel_theta = acc_v[:, _THETA_SEL]
-        sel_logp = acc_s[:, _LOGP_SEL]
-        new_draws_done = mid.draws_done + complete.astype(jnp.int32)
+        new_draws_done = s.draws_done + complete.astype(jnp.int32)
         # Restart immediately on completion even when the lane is about
         # to park at the run-ahead cap (the ``active`` mask keeps the
-        # fresh trajectory idle until the emission cursor catches up) —
-        # a parked lane must never carry terminated trajectory state.
-        # EXCEPT at the block end: its key must equal the classic
+        # fresh trajectory idle until the emission cursor catches up).
+        # EXCEPT at the block end: the lane's key must equal the classic
         # end-of-draw key so the next block (which re-inits exactly like
         # the classic path) continues the same per-lane stream.
         restart = complete & (new_draws_done < block_draws)
-        fresh = jax.vmap(
-            lambda k, t, l0, g0, st, im, mm, ng, fl, dd, se:
-            _start_trajectory(k, t, l0, g0, st, im, mm, n_slots,
-                              max_depth, ng, fl, dd, se)
-        )(mid.key, sel_theta, sel_logp, acc_grad_sel, step, inv_mass,
-          min_micro, mid.n_grads, mid.fails, new_draws_done, mid.stack_e)
+        r1 = restart[:, None]
+        r2 = restart[:, None, None]
+        knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
+            s.key, sel_theta, sel_logp, sel_grad, step, inv_mass
+        )
 
-        def pick(f, m):
-            mask = restart
-            extra = f.ndim - mask.ndim
-            if extra:
-                mask = mask.reshape(mask.shape + (1,) * extra)
-            return jnp.where(mask, f, m)
+        cont = active & s.leaf_done & ~complete
 
-        out = jax.tree.map(pick, fresh, mid)
-        out = out._replace(draws_done=new_draws_done)
-        return out, complete, sel_theta, sel_logp, out_depth
+        # --- single-pass merged field writes ---
+        new_dir = jnp.where(restart, forward0,
+                            jnp.where(deeper, unifs[:, 2] < 0.5, s.forward))
+        nd1 = new_dir[:, None]
+        acc_grad_fw = jnp.where(r1, sel_grad,
+                                jnp.where(upd_fw[:, None], fwd[:, 2],
+                                          s.acc_grad_fw))
+        acc_grad_bk = jnp.where(r1, sel_grad,
+                                jnp.where(upd_bk[:, None], fwd[:, 2],
+                                          s.acc_grad_bk))
+        acc_grad_sel = jnp.where(r1 | take[:, None], sel_grad,
+                                 s.acc_grad_sel)
+        acc_v = jnp.stack([
+            jnp.where(r1, sel_theta,
+                      jnp.where(upd_bk[:, None], fwd[:, 0],
+                                s.acc_v[:, _THETA_BK])),
+            jnp.where(r1, rho0,
+                      jnp.where(upd_bk[:, None], fwd[:, 1],
+                                s.acc_v[:, _RHO_BK])),
+            jnp.where(r1, sel_theta,
+                      jnp.where(upd_fw[:, None], fwd[:, 0],
+                                s.acc_v[:, _THETA_FW])),
+            jnp.where(r1, rho0,
+                      jnp.where(upd_fw[:, None], fwd[:, 1],
+                                s.acc_v[:, _RHO_FW])),
+            jnp.where((restart | take)[:, None], sel_theta,
+                      s.acc_v[:, _THETA_SEL]),
+        ], axis=1)
+        acc_s = jnp.stack([
+            jnp.where(restart, joint0,
+                      jnp.where(upd_bk, fwd_joint, s.acc_s[:, _LOGP_BK])),
+            jnp.where(restart, joint0,
+                      jnp.where(upd_fw, fwd_joint, s.acc_s[:, _LOGP_FW])),
+            jnp.where(restart | take, sel_logp, s.acc_s[:, _LOGP_SEL]),
+            jnp.where(restart, joint0,
+                      jnp.where(subtree_done,
+                                log_sum_exp(s.acc_s[:, _LOGW], run_logw_new),
+                                s.acc_s[:, _LOGW])),
+        ], axis=1)
+
+        # leaf-start for continuing lanes: orbit endpoint in the (new)
+        # travel direction on a new doubling, this leaf's endpoint on a
+        # push; the trajectory start for restarting lanes
+        acc_end = jnp.stack([
+            jnp.where(nd1, acc_v[:, _THETA_FW], acc_v[:, _THETA_BK]),
+            jnp.where(nd1, acc_v[:, _RHO_FW], acc_v[:, _RHO_BK]),
+            jnp.where(nd1, acc_grad_fw, acc_grad_bk),
+        ], axis=1)
+        acc_end_joint = jnp.where(new_dir, acc_s[:, _LOGP_FW],
+                                  acc_s[:, _LOGP_BK])
+        ms = jnp.where(r2, start,
+                       jnp.where(deeper[:, None, None], acc_end,
+                                 jnp.where(push[:, None, None], fwd, s.ms)))
+        ms_joint = jnp.where(restart, joint0,
+                             jnp.where(deeper, acc_end_joint,
+                                       jnp.where(push, fwd_joint,
+                                                 s.ms_joint)))
+        rc = restart | cont
+        rc2 = rc[:, None, None]
+
+        return s._replace(
+            key=_key_where(restart, knew, s.key),
+            depth=jnp.where(restart, jnp.int32(1),
+                            jnp.where(deeper, new_depth, s.depth)),
+            out_depth=jnp.where(restart, jnp.int32(max_depth + 1),
+                                out_depth),
+            acc_v=acc_v, acc_s=acc_s,
+            acc_grad_bk=acc_grad_bk, acc_grad_fw=acc_grad_fw,
+            acc_grad_sel=acc_grad_sel,
+            forward=new_dir,
+            leaf_idx=jnp.where(restart | deeper, jnp.int32(0),
+                               jnp.where(leaf_ok, new_leaf_idx,
+                                         s.leaf_idx)),
+            n_leaves=jnp.where(restart, jnp.int32(1),
+                               jnp.where(deeper,
+                                         jnp.int32(1) << (new_depth - 1),
+                                         s.n_leaves)),
+            stack_e=stack_e,
+            run_sel=jnp.where(r1, sel_theta, run_sel_v),
+            run_sel_logp=jnp.where(restart, sel_logp, run_sel_logp_v),
+            run_sel_grad=jnp.where(r1, sel_grad, run_sel_grad_v),
+            run_logw=jnp.where(restart | deeper,
+                               jnp.asarray(-jnp.inf, dtype),
+                               jnp.where(leaf_ok, run_logw_new,
+                                         s.run_logw)),
+            ms=ms, ms_joint=ms_joint,
+            halvings=jnp.where(rc, jnp.int32(0), s.halvings),
+            dt=jnp.where(restart, dt0,
+                         jnp.where(cont, jnp.where(new_dir, step, -step),
+                                   s.dt)),
+            steps_done=jnp.where(rc, jnp.int32(0), s.steps_done),
+            steps_total=jnp.where(rc, min_micro, s.steps_total),
+            phase=jnp.where(rc, jnp.int32(_PH_FWD), s.phase),
+            cur=jnp.where(rc2, ms, s.cur),
+            lp_cur=jnp.where(restart, sel_logp, s.lp_cur),
+            leaf_done=jnp.where(active & s.leaf_done, False, s.leaf_done),
+            leaf_ok=jnp.where(active & s.leaf_done, False, s.leaf_ok),
+            fails=s.fails._replace(
+                n_depth_exhausted=s.fails.n_depth_exhausted
+                + exhausted.astype(jnp.int32)
+            ),
+            draws_done=new_draws_done,
+        ), complete, sel_theta, sel_logp, out_depth
 
     def sample_block(state: LaneState, step, inv_mass, min_micro,
                      max_error, num_draws: int):
@@ -534,45 +593,55 @@ def make_batched_sample_block(
         buf_depth = jnp.zeros((B, C), jnp.int32)
 
         def scan_step(carry, r):
-            state, buf_theta, buf_logp, buf_depth = carry
+            state, buf_theta, buf_logp, buf_depth, trips = carry
             cap = jnp.minimum(jnp.int32(R), r + B)
 
             def outer_cond(c):
-                st = c[0]
-                return jnp.any(st.draws_done <= r)
+                return jnp.any(c[0].draws_done <= r)
 
             def outer_body(c):
-                st, bt, bl, bd = c
+                st, bt, bl, bd, trips = c
                 active = st.draws_done < cap
 
-                def inner_cond(s):
-                    return jnp.any(active & ~s.leaf_done)
+                def inner_cond(c2):
+                    s, n = c2
+                    more = jnp.any(active & ~s.leaf_done)
+                    if K > 0:
+                        more = more & (n - trips[0] < K)
+                    return more
 
-                def inner_body(s):
-                    return inner_trip(s, active, inv_mass, min_micro,
-                                      max_error)
+                def inner_body(c2):
+                    s, n = c2
+                    return (
+                        inner_trip(s, active, inv_mass, min_micro,
+                                   max_error),
+                        n + 1,
+                    )
 
-                st = jax.lax.while_loop(inner_cond, inner_body, st)
+                st, n_inner = jax.lax.while_loop(
+                    inner_cond, inner_body, (st, trips[0])
+                )
+                trips = (n_inner, trips[1] + 1)
                 st, complete, sel_theta, sel_logp, out_depth = leaf_apply(
                     st, active, step, inv_mass, min_micro, R
                 )
-                # bank completed draws: B static-unrolled masked row
-                # writes (draw index = pre-increment draws_done)
+                # bank completed draws: one stacked masked write
+                # (draw index = pre-increment draws_done)
                 slot = (st.draws_done - 1) % B  # valid where complete
-                for b in range(B):
-                    m = complete & (slot == b)
-                    bt = bt.at[b].set(
-                        jnp.where(m[:, None], sel_theta, bt[b])
-                    )
-                    bl = bl.at[b].set(jnp.where(m, sel_logp, bl[b]))
-                    bd = bd.at[b].set(jnp.where(m, out_depth, bd[b]))
-                return st, bt, bl, bd
+                m = complete[None, :] & (
+                    slot[None, :]
+                    == jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                )  # (B, C)
+                bt = jnp.where(m[:, :, None], sel_theta[None], bt)
+                bl = jnp.where(m, sel_logp[None], bl)
+                bd = jnp.where(m, out_depth[None], bd)
+                return st, bt, bl, bd, trips
 
             carry = jax.lax.while_loop(
                 outer_cond, outer_body,
-                (state, buf_theta, buf_logp, buf_depth),
+                (state, buf_theta, buf_logp, buf_depth, trips),
             )
-            state, buf_theta, buf_logp, buf_depth = carry
+            state, buf_theta, buf_logp, buf_depth, trips = carry
             sl = r % B
             draw = jax.lax.dynamic_index_in_dim(
                 buf_theta, sl, axis=0, keepdims=False
@@ -583,22 +652,44 @@ def make_batched_sample_block(
             dep = jax.lax.dynamic_index_in_dim(
                 buf_depth, sl, axis=0, keepdims=False
             )
-            return (state, buf_theta, buf_logp, buf_depth), (draw, lp, dep)
+            return (
+                (state, buf_theta, buf_logp, buf_depth, trips),
+                (draw, lp, dep),
+            )
 
-        (state, _, _, _), (draws, logps, depths) = jax.lax.scan(
-            scan_step, (state, buf_theta, buf_logp, buf_depth),
+        trips0 = (jnp.int32(0), jnp.int32(0))
+        (state, _, _, _, trips), (draws, logps, depths) = jax.lax.scan(
+            scan_step,
+            (state, buf_theta, buf_logp, buf_depth, trips0),
             jnp.arange(R),
         )
         return BatchedBlockResult(
             draws=draws, logps=logps, depths=depths,
             key=state.key,
+            # sample_block's OWN work: excludes the one block-entry
+            # evaluation start_block performed (callers composing both,
+            # like run_sampling, must add it)
             n_grads_delta=state.n_grads - n_grads0,
             fails_delta=jax.tree.map(
                 lambda a, b: a - b, state.fails, fails0
             ),
+            n_inner_trips=trips[0],
+            n_outer_trips=trips[1],
         )
 
+    # exposed for diagnostics/benchmarks (tests, cost-model probes)
+    sample_block.inner_trip = inner_trip
+    sample_block.leaf_apply = leaf_apply
     return start_block, sample_block
+
+
+def _key_where(pred, a, b):
+    """Per-lane select over typed PRNG key arrays."""
+    return jax.random.wrap_key_data(
+        jnp.where(pred[:, None], jax.random.key_data(a),
+                  jax.random.key_data(b)),
+        impl=jax.random.key_impl(b),
+    )
 
 
 __all__ = [

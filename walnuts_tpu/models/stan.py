@@ -227,9 +227,80 @@ def make_stan_logp(bridge: StanBridge):
     return logp_fn, dim
 
 
+class StanVariable:
+    """One Stan variable's slice of the flat constrained row.
+
+    The stanio-equivalent (the reference parses headers with
+    ``stanio.parse_header``, stan.py:31): a flat column block plus the
+    declared dims recovered from the BridgeStan ``name.i.j`` suffixes,
+    reassembled COLUMN-MAJOR (Stan order). ``extract_reshape`` mirrors
+    ``stanio.Variable.extract_reshape``.
+    """
+
+    def __init__(self, name: str, start: int, dims: tuple):
+        self.name = name
+        self.start = start
+        self.dims = dims
+        self.size = int(np.prod(dims, dtype=np.int64)) if dims else 1
+
+    def extract_reshape(self, data: np.ndarray) -> np.ndarray:
+        block = data[..., self.start:self.start + self.size]
+        if not self.dims:
+            return block[..., 0]
+        return block.reshape(block.shape[:-1] + self.dims, order="F")
+
+
+def parse_variables(names: List[str]) -> dict:
+    """Group flat BridgeStan column names into :class:`StanVariable`\\ s.
+
+    Names look like ``alpha``, ``v.1`` ... ``v.K``, ``M.1.1`` ... ``M.R.C``
+    (indices column-major); the dims are the componentwise maxima of the
+    index suffixes. Matches the reference's stanio header parsing
+    (/root/reference/python/src/walnutpie/stan.py:31,108-145).
+    """
+    groups: dict = {}
+    order: List[str] = []
+    for i, n in enumerate(names):
+        parts = n.split(".")
+        base_end = len(parts)
+        while base_end > 1 and parts[base_end - 1].isdigit():
+            base_end -= 1
+        base = ".".join(parts[:base_end])
+        idx = tuple(int(p) for p in parts[base_end:])
+        if base not in groups:
+            groups[base] = {"start": i, "idxs": []}
+            order.append(base)
+        groups[base]["idxs"].append((i, idx))
+    out = {}
+    for base in order:
+        rec = groups[base]
+        idxs = rec["idxs"]
+        if len(idxs) == 1 and idxs[0][1] == ():
+            out[base] = StanVariable(base, rec["start"], ())
+            continue
+        ndim = len(idxs[0][1])
+        dims = tuple(
+            max(ix[d] for _, ix in idxs) for d in range(ndim)
+        )
+        var = StanVariable(base, rec["start"], dims)
+        cols = [c for c, _ in idxs]
+        if cols != list(range(rec["start"], rec["start"] + var.size)):
+            raise ValueError(
+                f"parameter {base!r} occupies non-contiguous columns"
+            )
+        out[base] = var
+    return out
+
+
 @dataclass
 class StanOutput:
-    """Constrained draws of one chain plus metadata (stan.py:19-145)."""
+    """Constrained draws of one chain plus metadata (stan.py:19-145).
+
+    ``parameters`` holds the RAW flat column names; ``variables`` the
+    parsed per-variable views (``obj["M"]`` returns draws reshaped to the
+    declared dims, column-major, like the reference's stanio-backed
+    ``StanOutputBase.get``).
+    """
 
     parameters: List[str]
     data: np.ndarray  # (draws, constrained dim)
@@ -237,30 +308,41 @@ class StanOutput:
     inv_metric: Optional[np.ndarray] = None
     warmup_data: Optional[np.ndarray] = None
 
+    def __post_init__(self):
+        self.variables = parse_variables(self.parameters)
+
     def __getitem__(self, name: str) -> np.ndarray:
+        """Draws of one variable, reshaped to its declared dims (a flat
+        column name like ``"M.2.1"`` is also accepted)."""
+        var = self.variables.get(name)
+        if var is not None:
+            return var.extract_reshape(self.data)
         try:
             idx = self.parameters.index(name)
         except ValueError as e:
             raise KeyError(name) from e
         return self.data[:, idx]
 
+    def get(self, name: str) -> np.ndarray:
+        """Synonym for ``obj[name]`` (StanOutputBase.get, stan.py:51)."""
+        return self[name]
+
     def create_inits(
         self, seed: Optional[int] = None, chains: int = 4
     ) -> List[dict]:
         """Resample draws into init dicts for a follow-up run
-        (stan.py:108-145)."""
+        (stan.py:108-145). Array/matrix parameters come back with their
+        declared shapes (column-major reassembly), so the dicts are valid
+        Stan JSON inits for ANY parameterization, not just vectors."""
         rng = np.random.default_rng(seed)
         rows = rng.choice(self.data.shape[0], size=chains, replace=True)
-        scalar_names = [p.split(".")[0] for p in self.parameters]
-        inits = []
-        for r in rows:
-            d: dict = {}
-            for name, value in zip(scalar_names, self.data[r]):
-                d.setdefault(name, []).append(float(value))
-            inits.append(
-                {k: (v[0] if len(v) == 1 else v) for k, v in d.items()}
-            )
-        return inits
+        return [
+            {
+                name: var.extract_reshape(self.data[r])
+                for name, var in self.variables.items()
+            }
+            for r in rows
+        ]
 
 
 def walnuts_stan(
@@ -301,12 +383,19 @@ def walnuts_stan(
 
     # constrained-scale init dicts (e.g. from StanOutput.create_inits,
     # stan.py:108-145) are unconstrained through the model
+    def _dumps(d):
+        # create_inits dicts carry numpy scalars/arrays (declared-shape
+        # reassembly); Stan JSON wants plain lists
+        return json.dumps(
+            d, default=lambda o: o.tolist() if hasattr(o, "tolist") else o
+        )
+
     inits = kwargs.get("inits")
     if isinstance(inits, dict):
-        kwargs["inits"] = bridge.unconstrain_json(json.dumps(inits))
+        kwargs["inits"] = bridge.unconstrain_json(_dumps(inits))
     elif isinstance(inits, (list, tuple)) and inits and isinstance(inits[0], dict):
         kwargs["inits"] = np.stack(
-            [bridge.unconstrain_json(json.dumps(d)) for d in inits]
+            [bridge.unconstrain_json(_dumps(d)) for d in inits]
         )
 
     kwargs.setdefault("num_params", dim)
@@ -348,7 +437,9 @@ __all__ = [
     "SEPARATOR",
     "StanBridge",
     "StanOutput",
+    "StanVariable",
     "build_bridge",
     "make_stan_logp",
+    "parse_variables",
     "walnuts_stan",
 ]
