@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 
-def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtype):
+def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtype,
+              model_name=""):
     """One full warmup+sampling pipeline with separate phase timings."""
     import jax
     import jax.numpy as jnp
@@ -45,8 +46,11 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # measured with the same budget (BASELINE_MAX_HALVINGS=8).
     halvings = int(os.environ.get("BENCH_HALVINGS", 8))
     # fixed 100-iteration blocks: the short compile pass (100+100 iters)
-    # compiles the same block programs the timed 400+400 run reuses
-    block = int(os.environ.get("BENCH_BLOCK", 100))
+    # compiles the same block programs the timed 400+400 run reuses. The
+    # 1003-dim SV uses 50: the axon worker kills single jitted blocks
+    # running longer than ~1 min (docs/BENCHMARKS.md round-2 root cause)
+    # and SV blocks of 100 draws sit near that threshold.
+    block = int(os.environ.get("BENCH_BLOCK", 50 if model_name == "sv" else 100))
     warmup_cfg = WarmupConfig(
         min_iter=warmup_iters, max_iter=warmup_iters,
         block_size=min(block, warmup_iters),
@@ -94,16 +98,21 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # draws stay device-resident during the timed loop (the C++ baseline's
     # in-RAM stores are likewise ~free); the host transfer is timed
     # separately below
-    # batched-native scheduler (core/batched.py): the default for the
-    # divergent-cost models where it is the measured winner; BENCH_BATCHED
-    # / BENCH_BGROUPS / BENCH_RUNAHEAD / BENCH_T2K override.
+    # batched-native scheduler (core/batched.py): the measured winner on
+    # every bench model (funnel 1.3x with dynamic cost groups, logreg
+    # 1.3x, SV 2.6x — docs/BENCHMARKS.md round 3); BENCH_BATCHED /
+    # BENCH_BGROUPS / BENCH_RUNAHEAD / BENCH_T2K override. Dynamic
+    # cost-sorted groups only pay on the funnel's heavy-tailed per-chain
+    # costs; logreg/SV run one group.
     batched = bool(int(os.environ.get("BENCH_BATCHED", 1))) and groups == 1
+    default_groups = 4 if model_name == "funnel" else 1
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
         chain_groups=groups, device_draws=True, bf16_ends=bf16,
         flatten=bool(int(os.environ.get("BENCH_FLATTEN", 0))) and groups == 1,
         batched=batched,
-        batched_groups=int(os.environ.get("BENCH_BGROUPS", 8)) if batched else 1,
+        batched_groups=int(os.environ.get("BENCH_BGROUPS", default_groups))
+        if batched else 1,
         runahead=int(os.environ.get("BENCH_RUNAHEAD", 8)),
         tier2_every=int(os.environ.get("BENCH_T2K", 6)),
         unroll=unroll,
@@ -146,10 +155,12 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     logp_grad = make_logp_grad(logp)
 
     # compile pass: one block of each phase compiles the programs the
-    # timed run reuses (identical shapes via the fixed block size)
-    block = int(os.environ.get("BENCH_BLOCK", 100))
+    # timed run reuses (identical shapes via the fixed block size; SV
+    # default 50 — see _run_once)
+    block = int(os.environ.get("BENCH_BLOCK", 50 if model_name == "sv" else 100))
     _run_once(logp_grad, dim, n_chains, min(block, warmup_iters),
-              min(block, sampling_iters), seed, jnp.float32)
+              min(block, sampling_iters), seed, jnp.float32,
+              model_name=model_name)
 
     # seed-averaged: the funnel's median-dim pooled ESS carries ~30% seed
     # noise even at 4096 chains (measured, docs/BENCHMARKS.md), so the
@@ -163,7 +174,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     agg = None
     for s in range(n_seeds):
         r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
-                      seed + 1 + s, jnp.float32)
+                      seed + 1 + s, jnp.float32, model_name=model_name)
         draws = r.pop("draws")
         # ESS over ALL dims; the native baseline records all dims too
         # (csrc/baseline_bench.cpp keep_dims), so the median-ESS estimator

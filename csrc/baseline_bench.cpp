@@ -54,6 +54,35 @@ struct Funnel : Target {
   }
 };
 
+// Non-centered eight schools (walnuts_tpu.models.targets.eight_schools,
+// Rubin 1981 data): theta = [mu, log_tau, z_1..z_8]. Used for the
+// draw-level distributional parity fixtures (tests/test_native_parity.py).
+struct EightSchools : Target {
+  static constexpr double kY[8] = {28, 8, -3, 7, -1, 1, 18, 12};
+  static constexpr double kSigma[8] = {15, 10, 16, 11, 9, 11, 10, 18};
+  int dim() const override { return 10; }
+  double logp_grad(const Vec& q, Vec& grad) const override {
+    const double mu = q[0], log_tau = q[1];
+    const double tau = std::exp(log_tau);
+    double lp = -0.5 * mu * mu / 25.0 - 0.5 * log_tau * log_tau / 4.0 + log_tau;
+    double gmu = -mu / 25.0;
+    double gltau = -log_tau / 4.0 + 1.0;
+    for (int j = 0; j < 8; ++j) {
+      const double z = q[2 + j];
+      const double eff = mu + tau * z;
+      const double r = (kY[j] - eff) / (kSigma[j] * kSigma[j]);
+      lp += -0.5 * (kY[j] - eff) * (kY[j] - eff) / (kSigma[j] * kSigma[j])
+            - 0.5 * z * z;
+      gmu += r;
+      gltau += r * tau * z;
+      grad[2 + j] = r * tau - z;
+    }
+    grad[0] = gmu;
+    grad[1] = gltau;
+    return lp;
+  }
+};
+
 // Stochastic volatility with a non-centered latent AR(1) — the same
 // posterior as walnuts_tpu.models.targets.stochastic_volatility (the
 // returns series is exported by csrc/run_baseline.py so both samplers hit
@@ -424,6 +453,7 @@ int main(int argc, char** argv) {
 
   std::unique_ptr<Target> tgt;
   if (model == "funnel") tgt = std::make_unique<Funnel>(101);
+  else if (model == "eight_schools") tgt = std::make_unique<EightSchools>();
   else if (model == "sv") {
     if (argc <= 7) { std::fprintf(stderr, "sv needs a data file\n"); return 1; }
     tgt = std::make_unique<StochVol>(argv[7]);
