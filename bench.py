@@ -140,6 +140,14 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
 def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     import jax.numpy as jnp
 
+    if model_name == "sv":
+        # the SV flagship protocol (and its native baseline,
+        # sv_ess_per_grad_1024c): 1024 chains, 200+200 — chain scaling is
+        # sublinear past 1024/chip on this model (docs/ROADMAP.md item 2)
+        n_chains = int(os.environ.get("BENCH_SV_CHAINS", 1024))
+        warmup_iters = int(os.environ.get("BENCH_SV_WARMUP", 200))
+        sampling_iters = int(os.environ.get("BENCH_SV_SAMPLING", 200))
+
     from walnuts_tpu.models import funnel, logistic_regression
     from walnuts_tpu.ops.math import make_logp_grad
     from walnuts_tpu.summary import effective_sample_size
@@ -208,6 +216,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     return {
         "model": model_name,
         "dim": dim,
+        "n_chains": n_chains,
         "n_seeds": n_seeds,
         "ess_median": ess_median,
         "ess_median_per_seed": per_seed_ess,
@@ -288,7 +297,7 @@ def main():
             # count exists (the pooled ESS estimator scales with chain
             # count, so the 16-chain ratio above is not a parity metric;
             # docs/BENCHMARKS.md "ESS-per-gradient parity")
-            mkey = f"{r['model']}_ess_per_grad_{n_chains}c"
+            mkey = f"{r['model']}_ess_per_grad_{r.get('n_chains', n_chains)}c"
             if mkey in base:
                 r["ess_per_grad_vs_baseline_matched"] = float(
                     r["ess_per_grad"] / base[mkey]
