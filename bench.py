@@ -82,9 +82,11 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     t0 = time.time()
     bf16 = bool(int(os.environ.get("BENCH_BF16_ENDS", 0)))
     unroll = int(os.environ.get("BENCH_UNROLL", 1))
+    groups_env = int(os.environ.get("BENCH_GROUPS", 1))
+    batched = bool(int(os.environ.get("BENCH_BATCHED", 1))) and groups_env == 1
     wstate, _, _, info = run_warmup(
         logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16,
-        unroll=unroll,
+        unroll=unroll, batched=batched,
     )
     jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0
@@ -104,7 +106,6 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # BENCH_BGROUPS / BENCH_RUNAHEAD / BENCH_T2K override. Dynamic
     # cost-sorted groups only pay on the funnel's heavy-tailed per-chain
     # costs; logreg/SV run one group.
-    batched = bool(int(os.environ.get("BENCH_BATCHED", 1))) and groups == 1
     default_groups = 4 if model_name == "funnel" else 1
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,

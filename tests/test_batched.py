@@ -196,6 +196,64 @@ class TestBatchedRuntime:
             run_sampling(warmed["lg"], ss, warmed["params"], scfg,
                          batched_groups=2)
 
+    def test_batched_warmup_bitwise(self):
+        """run_warmup(batched=True) reproduces the classic adaptive
+        warmup bitwise: draws, log densities, adapted step sizes, mass,
+        min-micro, and end keys — across multiple blocks — while caching
+        the per-draw trajectory-start gradient (one fresh evaluation per
+        block instead of per draw)."""
+        from walnuts_tpu.config import SamplingConfig, WarmupConfig
+        from walnuts_tpu.core.adapt import nutpie_init_mass
+        from walnuts_tpu.core.sampler import init_warmup_state
+        from walnuts_tpu.models import funnel as funnel_model
+        from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
+        from walnuts_tpu.parallel.runtime import run_warmup
+
+        logp, dim = funnel_model(7)
+        lg = make_logp_grad(logp)
+        C = 12
+        wcfg = WarmupConfig(min_iter=36, max_iter=36, block_size=12)
+        scfg = SamplingConfig(
+            min_iter=10, max_iter=10, block_size=10, max_step_halvings=8
+        )
+
+        def mkws():
+            base = jax.random.key(3)
+            keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(
+                jnp.arange(C)
+            )
+            theta0 = 2.0 * jax.random.normal(
+                jax.random.fold_in(base, 99), (C, dim)
+            )
+            grads = jax.vmap(lambda t: lg(t)[1])(theta0)
+            im0 = jax.vmap(
+                lambda g: nutpie_init_mass(g, jnp.asarray(1e-5))
+            )(grads)
+            step0 = jax.jit(jax.vmap(
+                lambda k, t, m: adapt_step_size(k, lg, t, m, jnp.asarray(1.0))
+            ))(keys, theta0, im0)
+            return jax.vmap(
+                lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+            )(keys, theta0, im0, step0)
+
+        ws_c, dc, lc, _ = run_warmup(lg, mkws(), wcfg, scfg, save_warmup=True)
+        ws_b, db, lb, _ = run_warmup(
+            lg, mkws(), wcfg, scfg, save_warmup=True, batched=True
+        )
+        np.testing.assert_array_equal(dc, db)
+        np.testing.assert_array_equal(lc, lb)
+        pc = jax.vmap(freeze_params)(ws_c)
+        pb = jax.vmap(freeze_params)(ws_b)
+        for a, b in zip(pc, pb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            jax.random.key_data(ws_c.key), jax.random.key_data(ws_b.key)
+        )
+        # 3 blocks of 12 draws: 36 - 3 trajectory-start gradients cached
+        np.testing.assert_array_equal(
+            np.asarray(ws_b.n_grads), np.asarray(ws_c.n_grads) - 33
+        )
+
     def test_api_batched_end_to_end(self):
         """walnuts(batched=True, batched_groups=2) returns the same draws
         as the classic scheduler through the full public API."""

@@ -382,6 +382,7 @@ def walnuts(
                 save_warmup=save_warmup, mesh=mesh, progress=progress,
                 integrator=integrator, bf16_ends=bf16_ends,
                 checkpoint=ckpt, start_it=start_warmup, info=warmup_info,
+                batched=batched,
             )
             if ckpt is not None and start_warmup and save_warmup:
                 prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)

@@ -72,6 +72,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from walnuts_tpu.core.adapt import AdamState, adam_init, adam_update
 from walnuts_tpu.core.transition import (
     _LOGP_BK,
     _LOGP_FW,
@@ -137,6 +138,9 @@ class LaneState(NamedTuple):
     leaf_ok: Array         # bool (accept; False at leaf_done = leaf fail)
     ku: Array              # (C, ...) raw key data of the leaf-completing
                            # attempt's subkey (uniforms derived in tier 2)
+    # --- step-size adaptation (warmup only; a frozen dummy when
+    # sampling — a handful of (C,) scalars, negligible carry cost) ---
+    adam: AdamState
     # --- counters / block bookkeeping ---
     n_grads: Array         # int32
     fails: FailStats
@@ -165,6 +169,7 @@ def make_batched_sample_block(
     max_step_halvings: int,
     runahead: int = 8,
     tier2_every: int = 6,
+    adapt_step_size: bool = False,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -213,10 +218,11 @@ def make_batched_sample_block(
         start = jnp.stack([theta, rho0, grad0], axis=1)  # (C, 3, D)
         return ks[:, 0], rho0, joint0, forward0, dt0, start
 
-    def start_block(key, theta, n_grads, fails, step, inv_mass, min_micro):
+    def _lane_state(key, theta, logp0, grad0, step, inv_mass, min_micro,
+                    adam, n_grads, fails):
+        """Batched LaneState from a start point with KNOWN logp/grad."""
         dtype = theta.dtype
         C, D = theta.shape
-        logp0, grad0 = vlogp_grad(theta)
         knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
             key, theta, logp0, grad0, step, inv_mass
         )
@@ -258,12 +264,25 @@ def make_batched_sample_block(
             leaf_done=jnp.zeros((C,), bool),
             leaf_ok=jnp.zeros((C,), bool),
             ku=jax.random.key_data(knew),
-            # the block-entry gradient is fresh (and counted), exactly
-            # like the classic transition entry (walnuts.hpp:531-532)
-            n_grads=n_grads + 1,
+            adam=adam,
+            n_grads=n_grads,
             fails=fails,
             draws_done=jnp.zeros((C,), jnp.int32),
         )
+
+    def start_block(key, theta, n_grads, fails, step, inv_mass, min_micro,
+                    adam=None):
+        dtype = theta.dtype
+        if adam is None:  # sampling: a frozen dummy (classic sample_step)
+            adam = jax.vmap(lambda s: adam_init(s, dtype=dtype))(step)
+        # the block-entry gradient is fresh (and counted), exactly like
+        # the classic transition entry (walnuts.hpp:531-532)
+        logp0, grad0 = vlogp_grad(theta)
+        return _lane_state(key, theta, logp0, grad0, step, inv_mass,
+                           min_micro, adam, n_grads + 1, fails)
+
+    # warmup entry with the start point's logp/grad already known
+    start_block_cached = _lane_state
 
     # ------------------------------------------------------------------
     # integration trip: one batched gradient + the attempt machine
@@ -296,6 +315,23 @@ def make_batched_sample_block(
         f_done = att_done & in_fwd
         f_err = jnp.abs(s.ms_joint - joint_n)
         f_ok = f_err <= max_error  # NaN -> False -> halve/fail
+
+        if adapt_step_size:
+            # Adam observes exp(-|dH|) of the COARSEST attempt of every
+            # leaf (walnuts.hpp:335-338) — a masked per-lane scalar
+            # update, exactly the classic body's rule
+            accept = jnp.exp(-f_err)
+            accept = jnp.where(jnp.isnan(accept), jnp.zeros_like(accept),
+                               accept)
+            observe = f_done & (s.halvings == 0)
+            adam_new = jax.vmap(adam_update)(s.adam, accept)
+            adam = jax.tree.map(
+                lambda new, old: jnp.where(observe, new, old),
+                adam_new, s.adam,
+            )
+        else:
+            adam = s.adam
+
         need_rev = s.steps_total >= 2 * min_micro
         start_rev = f_done & f_ok & need_rev
         leaf_ok_now = f_done & f_ok & ~need_rev
@@ -352,7 +388,7 @@ def make_batched_sample_block(
             fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
             halvings=halvings, dt=dt, steps_done=steps_done,
             steps_total=steps_total, phase=phase,
-            leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku,
+            leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku, adam=adam,
             n_grads=n_grads, fails=fails,
         )
 
@@ -575,7 +611,7 @@ def make_batched_sample_block(
                 + exhausted.astype(jnp.int32)
             ),
             draws_done=new_draws_done,
-        ), complete, sel_theta, sel_logp, out_depth
+        ), complete, sel_theta, sel_logp, out_depth, sel_grad
 
     def sample_block(state: LaneState, step, inv_mass, min_micro,
                      max_error, num_draws: int):
@@ -622,7 +658,7 @@ def make_batched_sample_block(
                     inner_cond, inner_body, (st, trips[0])
                 )
                 trips = (n_inner, trips[1] + 1)
-                st, complete, sel_theta, sel_logp, out_depth = leaf_apply(
+                st, complete, sel_theta, sel_logp, out_depth, _ = leaf_apply(
                     st, active, step, inv_mass, min_micro, R
                 )
                 # bank completed draws: one stacked masked write
@@ -678,9 +714,127 @@ def make_batched_sample_block(
         )
 
     # exposed for diagnostics/benchmarks (tests, cost-model probes)
+    # and for the warmup runner (cached start point)
     sample_block.inner_trip = inner_trip
     sample_block.leaf_apply = leaf_apply
+    sample_block.start_block_cached = start_block_cached
     return start_block, sample_block
+
+
+def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg):
+    """Batched-native ADAPTIVE WARMUP block.
+
+    Warmup cannot run ahead — every draw's transition reads parameters
+    adapted from the previous draw (``AdaptiveWalnuts::operator()``,
+    adaptive_walnuts.hpp:234-251) — so the schedule is per-draw
+    synchronous; what carries over from the sampling scheduler is the
+    leaf-latched integration with amortised tier-2, the single-split
+    per-attempt RNG, Adam observing the coarsest attempt inside the
+    loop, and the cached selected-state gradient (the classic warmup
+    re-evaluates every draw's start point; here only the first draw of
+    each block pays it).
+
+    Returns ``warmup_block(state: WarmupState, n) -> (state',
+    (thetas, logps))`` operating on the chain-batched classic
+    :class:`~walnuts_tpu.core.sampler.WarmupState` — a drop-in for
+    ``run_warmup``'s block runner, emitting bitwise-identical warmup
+    draws and adapted states (tests/test_batched.py).
+    """
+    from walnuts_tpu.core.adapt import (
+        adam_step_size,
+        mass_estimator_inv_mass,
+        mass_estimator_observe,
+        min_micro_estimate,
+        min_micro_observe,
+    )
+    from walnuts_tpu.core.sampler import WarmupState
+
+    K = 6
+    start_block, sample_block = make_batched_sample_block(
+        logp_grad,
+        sampling_cfg.max_trajectory_doublings,
+        sampling_cfg.max_step_halvings,
+        runahead=1,
+        tier2_every=K,
+        adapt_step_size=True,
+    )
+    inner_trip = sample_block.inner_trip
+    leaf_apply = sample_block.leaf_apply
+    max_error = sampling_cfg.max_hamiltonian_error
+
+    def warmup_block(ws: WarmupState, n: int):
+        dtype = ws.theta.dtype
+        me = jnp.asarray(max_error, dtype)
+        # one fresh evaluation per BLOCK (counted); within the block the
+        # selected state's logp/grad ride the carry
+        logp0, grad0 = jax.vmap(logp_grad)(ws.theta)
+        carry0 = (ws._replace(n_grads=ws.n_grads + 1), logp0, grad0)
+
+        def draw_step(carry, _):
+            ws, logp, grad = carry
+            inv_mass = jax.vmap(mass_estimator_inv_mass)(ws.mass)
+            step = adam_step_size(ws.adam)
+            min_micro = jax.vmap(min_micro_estimate)(ws.min_micro)
+            st = sample_block.start_block_cached(
+                ws.key, ws.theta, logp, grad, step, inv_mass, min_micro,
+                ws.adam, ws.n_grads, ws.fails,
+            )
+
+            def outer_cond(c):
+                return jnp.any(c[0].draws_done < 1)
+
+            def outer_body(c):
+                st, base = c
+                active = st.draws_done < 1
+
+                def inner_cond(c2):
+                    s, n2 = c2
+                    return jnp.any(active & ~s.leaf_done) & (n2 - base < K)
+
+                def inner_body(c2):
+                    s, n2 = c2
+                    return (
+                        inner_trip(s, active, inv_mass, min_micro, me),
+                        n2 + 1,
+                    )
+
+                st, n2 = jax.lax.while_loop(
+                    inner_cond, inner_body, (st, base)
+                )
+                st, *_ = leaf_apply(st, active, step, inv_mass, min_micro, 1)
+                return st, n2
+
+            st, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                       (st, jnp.int32(0)))
+            # block_draws=1 suppressed the restart, so the completed
+            # orbit's selection is still in place
+            theta = st.acc_v[:, _THETA_SEL]
+            logp = st.acc_s[:, _LOGP_SEL]
+            grad = st.acc_grad_sel
+            mass = jax.vmap(mass_estimator_observe)(
+                ws.mass, theta, grad, ws.iteration
+            )
+            mm = jax.vmap(min_micro_observe)(
+                ws.min_micro, jnp.int32(1) << st.out_depth
+            )
+            ws = WarmupState(
+                key=st.key,
+                theta=theta,
+                adam=st.adam,
+                mass=mass,
+                min_micro=mm,
+                iteration=ws.iteration + 1,
+                n_grads=st.n_grads,
+                fails=st.fails,
+            )
+            return (ws, logp, grad), (theta, logp)
+
+        (ws, _, _), (thetas, logps) = jax.lax.scan(
+            draw_step, carry0, None, length=int(n)
+        )
+        return ws, (thetas, logps)
+
+    return warmup_block
 
 
 def _key_where(pred, a, b):

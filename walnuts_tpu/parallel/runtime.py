@@ -135,6 +135,7 @@ def run_warmup(
     start_it: int = 0,
     unroll: int = 1,
     info: Optional[RunInfo] = None,
+    batched: bool = False,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -154,18 +155,33 @@ def run_warmup(
     resumed tail.
     """
     state = shard_chains(state, mesh)
-    warmup_step = make_warmup_step(
-        logp_grad, sampling_cfg, integrator=integrator, bf16_ends=bf16_ends,
-        unroll=unroll,
-    )
-    vstep = jax.vmap(warmup_step)
+    if batched:
+        if mesh is not None:
+            raise ValueError(
+                "batched requires mesh=None (use the classic scheduler "
+                "on a mesh)"
+            )
+        from walnuts_tpu.core.batched import make_batched_warmup_block
 
-    @partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def run_block(s: WarmupState, n: int):
-        def body(s, _):
-            s, out = vstep(s)
-            return s, (out.theta, out.logp) if save_warmup else None
-        return jax.lax.scan(body, s, None, length=n)
+        warmup_block = make_batched_warmup_block(logp_grad, sampling_cfg)
+
+        @partial(jax.jit, static_argnums=1, donate_argnums=0)
+        def run_block(s: WarmupState, n: int):
+            s, (thetas, logps) = warmup_block(s, n)
+            return s, (thetas, logps) if save_warmup else None
+    else:
+        warmup_step = make_warmup_step(
+            logp_grad, sampling_cfg, integrator=integrator,
+            bf16_ends=bf16_ends, unroll=unroll,
+        )
+        vstep = jax.vmap(warmup_step)
+
+        @partial(jax.jit, static_argnums=1, donate_argnums=0)
+        def run_block(s: WarmupState, n: int):
+            def body(s, _):
+                s, out = vstep(s)
+                return s, (out.theta, out.logp) if save_warmup else None
+            return jax.lax.scan(body, s, None, length=n)
 
     stats = jax.jit(_warmup_convergence_stats)
 
