@@ -17,7 +17,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from walnuts_tpu.models.stan import StanOutput, StanVariable, parse_variables
+from walnuts_tpu.models.stan import StanOutput, parse_variables
 
 CSRC = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc"

@@ -170,6 +170,7 @@ def make_batched_sample_block(
     runahead: int = 8,
     tier2_every: int = 6,
     adapt_step_size: bool = False,
+    bf16_ends: bool = False,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -186,6 +187,16 @@ def make_batched_sample_block(
     restores a strict leaf barrier. The emitted draws are bitwise
     identical for every (B, K): scheduling never touches the per-lane
     Markov chain.
+
+    ``bf16_ends`` stores the merge-stack endpoints in bfloat16 and
+    rounds BOTH operands of every U-turn decision to bfloat16 — the
+    classic path's ``bf16_ends`` semantics exactly (transition.py module
+    docstring has the validity argument: the stopping rule stays a
+    symmetric deterministic function of the exact endpoint states), so
+    draws remain bitwise comparable against classic ``bf16_ends=True``.
+    Unlike the classic path (where the converts run per attempt and
+    measured slower), here both the stack traffic and its converts are
+    amortised into the tier-2 pass.
     """
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
@@ -222,6 +233,7 @@ def make_batched_sample_block(
                     adam, n_grads, fails):
         """Batched LaneState from a start point with KNOWN logp/grad."""
         dtype = theta.dtype
+        e_dtype = jnp.bfloat16 if bf16_ends else dtype
         C, D = theta.shape
         knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
             key, theta, logp0, grad0, step, inv_mass
@@ -240,7 +252,7 @@ def make_batched_sample_block(
             forward=forward0,
             leaf_idx=jnp.zeros((C,), jnp.int32),
             n_leaves=jnp.ones((C,), jnp.int32),
-            stack_e=jnp.zeros((C, n_slots, 2, D), dtype),
+            stack_e=jnp.zeros((C, n_slots, 2, D), e_dtype),
             run_sel=theta,
             run_sel_logp=logp0,
             run_sel_grad=grad0,
@@ -419,10 +431,17 @@ def make_batched_sample_block(
         )(s.ku)
 
         leaf_th, leaf_rho = fwd[:, 0], fwd[:, 1]
+        if bf16_ends:
+            # round every U-turn operand (classic bf16_ends semantics)
+            leaf_th = leaf_th.astype(jnp.bfloat16).astype(dtype)
+            leaf_rho = leaf_rho.astype(jnp.bfloat16).astype(dtype)
         sgn = jnp.where(s.forward, jnp.asarray(1.0, dtype),
                         jnp.asarray(-1.0, dtype))
 
         def uturn_end(old_th, old_rho):
+            if bf16_ends:
+                old_th = old_th.astype(jnp.bfloat16).astype(dtype)
+                old_rho = old_rho.astype(jnp.bfloat16).astype(dtype)
             delta = sgn[:, None] * inv_mass * (leaf_th - old_th)
             return (jnp.sum(leaf_rho * delta, axis=-1) < 0) | (
                 jnp.sum(old_rho * delta, axis=-1) < 0
@@ -436,7 +455,7 @@ def make_batched_sample_block(
         ok = jnp.ones_like(leaf_ok)
         for i in range(n_slots):
             do = leaf_ok & (i < n_merges) & ok
-            slot = s.stack_e[:, i]
+            slot = s.stack_e[:, i].astype(dtype)
             ut = uturn_end(slot[:, 0], slot[:, 1])
             cur_end = jnp.where(do[:, None, None], slot, cur_end)
             ok = ok & ~(do & ut)
@@ -451,7 +470,8 @@ def make_batched_sample_block(
             == jax.lax.broadcasted_iota(jnp.int32, (1, n_slots), 1)
         )  # (C, n_slots)
         stack_e = jnp.where(
-            write_mask[:, :, None, None], cur_end[:, None], s.stack_e
+            write_mask[:, :, None, None],
+            cur_end.astype(s.stack_e.dtype)[:, None], s.stack_e
         )
 
         # reservoir (streaming Barker; see transition.py module docstring)

@@ -474,6 +474,7 @@ def run_sampling(
             sampling_cfg.max_step_halvings,
             runahead=runahead,
             tier2_every=tier2_every,
+            bf16_ends=bf16_ends,
         )
         b_max_error = sampling_cfg.max_hamiltonian_error
 
