@@ -209,6 +209,36 @@ class TestCheckpoint:
                 a.warmup.warmup_draws, b.warmup.warmup_draws
             )
 
+    def test_batched_scheduler_crash_resumes_bitwise(
+        self, tmp_path, monkeypatch
+    ):
+        """The batched-native scheduler composes with checkpointing: its
+        carried SampleState is block-boundary interchangeable with the
+        classic path's, so a crashed batched run resumes to the exact
+        draws of an uninterrupted one."""
+        kwargs = dict(batched=True, batched_groups=1, runahead=4,
+                      tier2_every=3)
+        plain = run(**kwargs)
+
+        real_run_sampling = api_mod.run_sampling
+
+        def crashing_run_sampling(*args, **kw):
+            cfg = args[3]
+            short = cfg.__class__(
+                **{**cfg.__dict__, "min_iter": 8, "max_iter": 8}
+            )
+            real_run_sampling(*(args[:3] + (short,)), **kw)
+            raise RuntimeError("simulated preemption")
+
+        monkeypatch.setattr(api_mod, "run_sampling", crashing_run_sampling)
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            run(tmp_path / "ck", **kwargs)
+        monkeypatch.setattr(api_mod, "run_sampling", real_run_sampling)
+
+        resumed = run(tmp_path / "ck", **kwargs)
+        for a, b in zip(plain, resumed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_resume_false_starts_over(self, tmp_path):
         first = run(tmp_path / "ck")
         fresh = run(tmp_path / "ck", resume=False, seed=78)
