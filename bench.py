@@ -180,6 +180,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     n_seeds = int(os.environ.get("BENCH_SEEDS", 1 if model_name == "sv" else 3))
     per_seed_ess = []
     per_seed_time = []  # transient worker slowdowns show up here
+    per_seed_grads = []  # per-seed ESS/grad -> parity-ratio seed spread
     agg = None
     for s in range(n_seeds):
         r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
@@ -205,6 +206,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
                 jnp_.moveaxis(draws, 0, 1)))
         per_seed_ess.append(float(np.median(ess)))
         per_seed_time.append(round(r["sampling_time"], 3))
+        per_seed_grads.append(float(r["total_grads"]))
         r["ess_min"] = float(np.min(ess))
         agg = r if agg is None else {
             k: (v + r[k] if isinstance(v, (int, float)) else r[k])
@@ -222,6 +224,8 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
         "ess_median": ess_median,
         "ess_median_per_seed": per_seed_ess,
         "sampling_time_per_seed": per_seed_time,
+        "ess_per_grad_per_seed": [e / g for e, g
+                                  in zip(per_seed_ess, per_seed_grads)],
         "ess_min": r.pop("ess_min"),
         "ess_per_sec": float(ess_median / r["sampling_time"]),
         "ess_per_sec_incl_warmup": float(ess_median / total_time),
@@ -250,26 +254,37 @@ def main():
     sampling_iters = int(os.environ.get("BENCH_SAMPLING", 400))
 
     backend = jax.default_backend()
-    # headline metric = funnel + logreg geomean (BASELINE.json); BENCH_SV=1
-    # adds the 1003-dim stochastic-volatility flagship (configs[4]) to the
-    # detail without changing the headline
+    # headline metric = funnel + logreg geomean (BASELINE.json); the
+    # 1003-dim stochastic-volatility flagship (configs[4]) runs by default
+    # into the detail (its matched parity ratio belongs in every round's
+    # record) without changing the headline; BENCH_SV=0 skips it
     models = ["funnel", "logreg"]
-    if int(os.environ.get("BENCH_SV", 0)):
+    if int(os.environ.get("BENCH_SV", 1)):
         models.append("sv")
     if os.environ.get("BENCH_MODELS"):  # explicit override, e.g. "sv"
         models = os.environ["BENCH_MODELS"].split(",")
     results = []
     for model in models:
-        results.append(
-            _ess_per_sec(model, n_chains, warmup_iters, sampling_iters, seed=2026)
-        )
+        try:
+            results.append(
+                _ess_per_sec(model, n_chains, warmup_iters, sampling_iters,
+                             seed=2026)
+            )
+        except Exception as e:  # a worker crash on one model (the SV
+            # flagship runs ~1-min jitted blocks near the axon watchdog)
+            # must not take down the whole bench line
+            if model in ("funnel", "logreg") and not os.environ.get(
+                    "BENCH_MODELS"):
+                raise  # headline models: fail loudly
+            results.append({"model": model, "error": repr(e)})
 
     # headline = geomean over the funnel+logreg subset; with an explicit
     # BENCH_MODELS override that excludes both, fall back to the geomean
     # over whatever ran (never an empty mean -> NaN -> invalid JSON)
-    vals = [np.log(r["ess_per_sec"]) for r in results if r["model"] != "sv"]
+    ran = [r for r in results if "ess_per_sec" in r]
+    vals = [np.log(r["ess_per_sec"]) for r in ran if r["model"] != "sv"]
     if not vals:
-        vals = [np.log(r["ess_per_sec"]) for r in results]
+        vals = [np.log(r["ess_per_sec"]) for r in ran]
     value = float(np.exp(np.mean(vals))) if vals else None
 
     vs_baseline = None
@@ -280,7 +295,7 @@ def main():
         # 64-core extrapolation of the measured single-core C++ ESS/sec,
         # compared on sampling-phase throughput for both sides
         per_model = []
-        for r in results:
+        for r in ran:
             key = f"{r['model']}_ess_per_sec_1core"
             if key in base:
                 r["ess_per_sec_vs_baseline_64core"] = float(
@@ -303,6 +318,22 @@ def main():
                 r["ess_per_grad_vs_baseline_matched"] = float(
                     r["ess_per_grad"] / base[mkey]
                 )
+                # seed-spread interval on the matched ratio: worst-case
+                # pairing of the per-seed ESS/grad ranges on both sides
+                # (TPU seeds from this run; native seeds from
+                # csrc/run_matched_baseline.py). The north-star "within
+                # 5%" claim is judged against this interval, not the
+                # point ratio.
+                bspread = base.get(f"{mkey}_seed_spread")
+                tpu_epg = r.get("ess_per_grad_per_seed")
+                if bspread and tpu_epg:
+                    r["ess_per_grad_vs_baseline_matched_range"] = [
+                        float(min(tpu_epg) / bspread[1]),
+                        float(max(tpu_epg) / bspread[0]),
+                    ]
+                    r["matched_native_n_seeds"] = base.get(
+                        f"{r['model']}_{r.get('n_chains', n_chains)}c_n_seeds"
+                    )
         if per_model:
             vs_baseline = float(np.exp(np.mean(np.log(per_model))))
 

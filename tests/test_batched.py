@@ -76,7 +76,8 @@ def warmed():
     )
 
 
-def run_batched(warmed, B, K, num_draws=DRAWS):
+def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
+                defer_splits=True):
     lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
     ss = jax.tree.map(jnp.array, warmed["ss"])
     start_block, sample_block = make_batched_sample_block(
@@ -85,6 +86,8 @@ def run_batched(warmed, B, K, num_draws=DRAWS):
         scfg.max_step_halvings,
         runahead=B,
         tier2_every=K,
+        min_latched=min_latched,
+        defer_splits=defer_splits,
     )
 
     @jax.jit
@@ -103,11 +106,30 @@ def run_batched(warmed, B, K, num_draws=DRAWS):
 
 class TestBatchedBitwise:
     @pytest.mark.parametrize(
-        "B,K", [(1, 0), (8, 0), (8, 4), (16, 2), (4, 12), (64, 6)]
+        "B,K,T",
+        [(1, 0, 1), (8, 0, 1), (8, 4, 1), (16, 2, 1), (4, 12, 1),
+         (64, 6, 1),
+         # min_latched is scheduling-only too: strict every-K cadence
+         # (T=0), and pass deferral until 5 lanes latched (T=5)
+         (8, 4, 0), (8, 4, 5), (8, 6, C)],
     )
-    def test_draws_bitwise_equal_classic(self, warmed, B, K):
+    def test_draws_bitwise_equal_classic(self, warmed, B, K, T):
         th, lp, dep, key_data, _ = warmed["classic"]
-        res = run_batched(warmed, B, K)
+        res = run_batched(warmed, B, K, min_latched=T)
+        np.testing.assert_array_equal(th, np.asarray(res.draws))
+        np.testing.assert_array_equal(lp, np.asarray(res.logps))
+        np.testing.assert_array_equal(dep, np.asarray(res.depths))
+        # end-of-block keys identical -> the NEXT block (classic or
+        # batched) continues the same stream
+        np.testing.assert_array_equal(
+            key_data, np.asarray(jax.random.key_data(res.key))
+        )
+
+    @pytest.mark.parametrize("B,K", [(8, 6), (8, 0), (4, 12)])
+    def test_eager_splits_bitwise_equal_classic(self, warmed, B, K):
+        """defer_splits=False (the per-trip split) is the same stream."""
+        th, lp, dep, key_data, _ = warmed["classic"]
+        res = run_batched(warmed, B, K, defer_splits=False)
         np.testing.assert_array_equal(th, np.asarray(res.draws))
         np.testing.assert_array_equal(lp, np.asarray(res.logps))
         np.testing.assert_array_equal(dep, np.asarray(res.depths))

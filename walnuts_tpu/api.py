@@ -87,6 +87,8 @@ def walnuts(
     batched_groups: int = 1,
     runahead: int = 8,
     tier2_every: int = 6,
+    min_latched: int = 0,
+    defer_splits: bool = True,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     checkpoint_keep_last_n: Optional[int] = None,
@@ -129,8 +131,11 @@ def walnuts(
       default.
     - ``batched``: batched-native sampling scheduler
       (:mod:`walnuts_tpu.core.batched`) — leaf-latched integration with
-      amortised orbit bookkeeping (``tier2_every`` trips per pass) and a
-      ``runahead``-deep run-ahead draw buffer; ``batched_groups > 1``
+      amortised orbit bookkeeping (``tier2_every`` trips per pass, but a
+      pass is deferred until at least ``min_latched`` lanes have latched
+      a leaf), a ``runahead``-deep run-ahead draw buffer, and deferred
+      key-split replay (``defer_splits``; both scheduling-only — draws
+      are bitwise identical for every setting); ``batched_groups > 1``
       re-sorts chains every block by realized gradient cost and runs the
       groups sequentially. Draws are bitwise identical to the classic
       scheduler per chain; the fastest path measured on
@@ -413,6 +418,7 @@ def walnuts(
                 flatten=flatten and chain_groups == 1,
                 batched=batched, batched_groups=batched_groups,
                 runahead=runahead, tier2_every=tier2_every,
+                min_latched=min_latched, defer_splits=defer_splits,
                 checkpoint=ckpt, start_it=start_sampling,
                 thin=thin, keep_dims=keep_dims,
             )

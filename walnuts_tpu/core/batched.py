@@ -138,6 +138,12 @@ class LaneState(NamedTuple):
     leaf_ok: Array         # bool (accept; False at leaf_done = leaf fail)
     ku: Array              # (C, ...) raw key data of the leaf-completing
                            # attempt's subkey (uniforms derived in tier 2)
+    # --- deferred-split bookkeeping (defer_splits mode; zeros otherwise):
+    # the inner loop COUNTS attempt ends instead of splitting, and tier 2
+    # replays exactly that many sequential splits per lane ---
+    n_ends: Array          # int32, attempt ends since the last tier-2 pass
+    leaf_end_at: Array     # int32, 1-based end index of the leaf-completing
+                           # attempt (0 = none); its subkey becomes ku
     # --- step-size adaptation (warmup only; a frozen dummy when
     # sampling — a handful of (C,) scalars, negligible carry cost) ---
     adam: AdamState
@@ -171,6 +177,8 @@ def make_batched_sample_block(
     tier2_every: int = 6,
     adapt_step_size: bool = False,
     bf16_ends: bool = False,
+    min_latched: int = 0,
+    defer_splits: bool = True,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -188,6 +196,16 @@ def make_batched_sample_block(
     identical for every (B, K): scheduling never touches the per-lane
     Markov chain.
 
+    ``min_latched`` defers a tier-2 pass that would fire at the K-trip
+    mark with fewer than this many lanes latched (a pass with nothing to
+    apply still pays the full ~200 us row sweep): integration continues
+    until the latch count reaches the threshold or no runnable lane
+    remains. Scheduling-only — draws stay bitwise identical for every
+    value. Default 0 (the strict every-K cadence): measured on funnel
+    x4096, empty passes are only ~2% and the per-trip latch-count
+    reduction costs slightly more than they save (4.28 vs 4.23 s);
+    the knob stays for models with sparser latch patterns.
+
     ``bf16_ends`` stores the merge-stack endpoints in bfloat16 and
     rounds BOTH operands of every U-turn decision to bfloat16 — the
     classic path's ``bf16_ends`` semantics exactly (transition.py module
@@ -201,6 +219,7 @@ def make_batched_sample_block(
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
     K = int(tier2_every)
+    T = int(min_latched)
 
     vsplit = jax.vmap(lambda k: jax.random.split(k))
     vsplit3 = jax.vmap(lambda k: jax.random.split(k, 3))
@@ -276,6 +295,8 @@ def make_batched_sample_block(
             leaf_done=jnp.zeros((C,), bool),
             leaf_ok=jnp.zeros((C,), bool),
             ku=jax.random.key_data(knew),
+            n_ends=jnp.zeros((C,), jnp.int32),
+            leaf_end_at=jnp.zeros((C,), jnp.int32),
             adam=adam,
             n_grads=n_grads,
             fails=fails,
@@ -317,10 +338,19 @@ def make_batched_sample_block(
         # one key split per attempt end (classic body, transition.py);
         # the subkey's RAW DATA is latched at leaf completion and turned
         # into the three leaf uniforms in tier 2 — a threefry costs a
-        # whole leapfrog at this shape, so it must not run per trip
-        ks = vsplit(s.key)
-        key = jnp.where(att_done, ks[:, 0], s.key)
-        ku_new = jax.random.key_data(ks[:, 1])
+        # whole leapfrog at this shape, so it must not run per trip.
+        # defer_splits removes even the per-trip SPLIT threefry: the trip
+        # only counts attempt ends, and tier 2 replays that many
+        # sequential splits per lane (the replay length is the max ends
+        # in the window, typically << K because attempts span >= min
+        # micro-step trips) — the per-lane key stream is unchanged.
+        if defer_splits:
+            key = s.key
+            n_ends = s.n_ends + att_done.astype(jnp.int32)
+        else:
+            ks = vsplit(s.key)
+            key = jnp.where(att_done, ks[:, 0], s.key)
+            ku_new = jax.random.key_data(ks[:, 1])
 
         in_fwd = s.phase == _PH_FWD
         # forward attempt completed (macro_step, walnuts.hpp:322-343)
@@ -366,9 +396,14 @@ def make_batched_sample_block(
         fwd_joint = jnp.where(set_fwd, joint_n, s.fwd_joint)
 
         leaf_end = leaf_ok_now | leaf_fail_now
-        extra = s.ku.ndim - leaf_end.ndim
-        ku = jnp.where(leaf_end.reshape(leaf_end.shape + (1,) * extra),
-                       ku_new, s.ku)
+        if defer_splits:
+            ku = s.ku
+            leaf_end_at = jnp.where(leaf_end, n_ends, s.leaf_end_at)
+        else:
+            n_ends, leaf_end_at = s.n_ends, s.leaf_end_at
+            extra = s.ku.ndim - leaf_end.ndim
+            ku = jnp.where(leaf_end.reshape(leaf_end.shape + (1,) * extra),
+                           ku_new, s.ku)
         leaf_done = s.leaf_done | leaf_end
         leaf_ok = jnp.where(leaf_end, leaf_ok_now, s.leaf_ok)
 
@@ -400,7 +435,8 @@ def make_batched_sample_block(
             fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
             halvings=halvings, dt=dt, steps_done=steps_done,
             steps_total=steps_total, phase=phase,
-            leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku, adam=adam,
+            leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku,
+            n_ends=n_ends, leaf_end_at=leaf_end_at, adam=adam,
             n_grads=n_grads, fails=fails,
         )
 
@@ -416,6 +452,36 @@ def make_batched_sample_block(
     def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
                    block_draws):
         dtype = s.ms_joint.dtype
+        if defer_splits:
+            # replay the window's deferred key splits: each lane consumed
+            # n_ends splits (sequential — split j feeds split j+1), and
+            # the leaf-completing attempt's subkey becomes ku. The loop
+            # runs max-lane ends times: one batched threefry each,
+            # instead of one EVERY trip in the integration loop.
+            n_replay = jnp.max(s.n_ends)
+
+            def replay_body(c):
+                j, key, ku = c
+                ks = vsplit(key)
+                adv = j < s.n_ends
+                key = _key_where(adv, ks[:, 0], key)
+                hit = adv & (s.leaf_end_at == j + 1)
+                extra = ku.ndim - hit.ndim
+                ku = jnp.where(
+                    hit.reshape(hit.shape + (1,) * extra),
+                    jax.random.key_data(ks[:, 1]), ku,
+                )
+                return j + 1, key, ku
+
+            _, key_r, ku_r = jax.lax.while_loop(
+                lambda c: c[0] < n_replay, replay_body,
+                (jnp.int32(0), s.key, s.ku),
+            )
+            s = s._replace(
+                key=key_r, ku=ku_r,
+                n_ends=jnp.zeros_like(s.n_ends),
+                leaf_end_at=jnp.zeros_like(s.leaf_end_at),
+            )
         leaf_ok = active & s.leaf_done & s.leaf_ok
         leaf_fail = active & s.leaf_done & ~s.leaf_ok
         fwd, fwd_joint, fwd_logp_pos = s.fwd, s.fwd_joint, s.fwd_logp_pos
@@ -663,7 +729,14 @@ def make_batched_sample_block(
                     s, n = c2
                     more = jnp.any(active & ~s.leaf_done)
                     if K > 0:
-                        more = more & (n - trips[0] < K)
+                        hold = n - trips[0] < K
+                        if T > 0:
+                            # defer the pass until >= T lanes latched
+                            # (scheduling-only; see min_latched above)
+                            hold = hold | (
+                                jnp.sum(active & s.leaf_done) < T
+                            )
+                        more = more & hold
                     return more
 
                 def inner_body(c2):
@@ -809,6 +882,10 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg):
 
                 def inner_cond(c2):
                     s, n2 = c2
+                    # strict every-K cadence: deferring the pass until a
+                    # lane has latched (min_latched=1) measured ~1% SLOWER
+                    # on the sampling probe (the per-trip latch reduction
+                    # costs more than the ~2% empty passes it avoids)
                     return jnp.any(active & ~s.leaf_done) & (n2 - base < K)
 
                 def inner_body(c2):

@@ -279,6 +279,8 @@ def run_sampling(
     batched_groups: int = 1,
     runahead: int = 8,
     tier2_every: int = 6,
+    min_latched: int = 0,
+    defer_splits: bool = True,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -475,6 +477,8 @@ def run_sampling(
             runahead=runahead,
             tier2_every=tier2_every,
             bf16_ends=bf16_ends,
+            min_latched=min_latched,
+            defer_splits=defer_splits,
         )
         b_max_error = sampling_cfg.max_hamiltonian_error
 
