@@ -221,7 +221,17 @@ def stochastic_volatility(
     associative scan so the gradient stays fused.
     """
     returns = stochastic_volatility_data(num_times, seed)
-    returns_j = jnp.asarray(returns)
+    # log r_t^2 precomputed in f64: the likelihood term r^2 exp(-h) is
+    # evaluated as exp(log r^2 - h) so the INTERMEDIATE never overflows
+    # f32 while the term value is representable. With the naive form a
+    # warmup chain at h ~ -90 sees exp(-h) = inf even when r^2 exp(-h)
+    # ~ 1e36 is a perfectly finite f32 — the resulting -inf logp / NaN
+    # gradient permanently sticks the lane (measured: 197/1024 stuck
+    # lanes at the flagship radius-2 init vs 37 truly lost in f64).
+    # The native f64 baseline (csrc/baseline_bench.cpp) never hit this,
+    # so the stable form is also what makes the f32-vs-f64 ESS
+    # comparison apples-to-apples.
+    log_r2 = np.log(np.square(returns))
 
     def logp(theta: Array) -> Array:
         mu, phi_raw, log_sigma = theta[0], theta[1], theta[2]
@@ -244,8 +254,9 @@ def stochastic_volatility(
         coeffs = jnp.full(z.shape, phi).at[0].set(0.0)
         _, u = jax.lax.associative_scan(combine, (coeffs, z0))
         hpath = mu + sigma * u
-        lp_lik = -0.5 * jnp.sum(jnp.square(returns_j.astype(theta.dtype))
-                                * jnp.exp(-hpath) + hpath)
+        lp_lik = -0.5 * jnp.sum(
+            jnp.exp(jnp.asarray(log_r2, theta.dtype) - hpath) + hpath
+        )
         lp_z = -0.5 * jnp.sum(jnp.square(z))
         lp_mu = -0.5 * jnp.square(mu) / 100.0
         lp_phi = -0.5 * jnp.square(phi_raw) / 4.0
