@@ -107,6 +107,11 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # cost-sorted groups only pay on the funnel's heavy-tailed per-chain
     # costs; logreg/SV run one group.
     default_groups = 4 if model_name == "funnel" else 1
+    # per-model (B, K) from the round-3 knob sweep (docs/BENCHMARKS.md):
+    # the funnel's cheap body wants a shallow B=4 buffer (-6.5%), the
+    # 1003-dim SV's wide tier-2 rows want K=12 amortisation (-17%).
+    default_runahead = 4 if model_name == "funnel" else 8
+    default_t2k = 12 if model_name == "sv" else 6
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
         chain_groups=groups, device_draws=True, bf16_ends=bf16,
@@ -114,8 +119,8 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         batched=batched,
         batched_groups=int(os.environ.get("BENCH_BGROUPS", default_groups))
         if batched else 1,
-        runahead=int(os.environ.get("BENCH_RUNAHEAD", 8)),
-        tier2_every=int(os.environ.get("BENCH_T2K", 6)),
+        runahead=int(os.environ.get("BENCH_RUNAHEAD", default_runahead)),
+        tier2_every=int(os.environ.get("BENCH_T2K", default_t2k)),
         unroll=unroll,
     )
     jax.block_until_ready((sstate, draws))
