@@ -514,30 +514,61 @@ def make_batched_sample_block(
             )
 
         # merge cascade: sub-U-turn checks against the stacked older-side
-        # endpoints (build_span, walnuts.hpp:490-494); static slot
-        # indices, masked selects (see transition.py)
+        # endpoints (build_span, walnuts.hpp:490-494). The loop is bounded
+        # by the BATCH-max merge count instead of statically unrolled over
+        # all n_slots: a leaf's merge count is the trailing-zero count of
+        # its 1-based index, so the batch max is almost always 0-2 while
+        # the static unroll paid n_slots (= max_depth-1) full row sweeps
+        # of stack reads + cur_end selects per pass. Scheduling-only: the
+        # skipped iterations were no-ops for every lane (do=False), so
+        # cur_end/ok — and the draws — are bitwise unchanged.
         n_merges = count_trailing_zeros(s.leaf_idx + 1)
-        cur_end = fwd[:, :2]
-        ok = jnp.ones_like(leaf_ok)
-        for i in range(n_slots):
+        max_m = jnp.minimum(
+            jnp.max(jnp.where(leaf_ok, n_merges, 0)), jnp.int32(n_slots)
+        )
+
+        def _cascade_body(c):
+            i, cur_end, ok = c
             do = leaf_ok & (i < n_merges) & ok
-            slot = s.stack_e[:, i].astype(dtype)
+            slot = jax.lax.dynamic_index_in_dim(
+                s.stack_e, i, axis=1, keepdims=False
+            ).astype(dtype)
             ut = uturn_end(slot[:, 0], slot[:, 1])
             cur_end = jnp.where(do[:, None, None], slot, cur_end)
             ok = ok & ~(do & ut)
+            return i + 1, cur_end, ok
+
+        _, cur_end, ok = jax.lax.while_loop(
+            lambda c: c[0] < max_m, _cascade_body,
+            (jnp.int32(0), fwd[:, :2], jnp.ones_like(leaf_ok)),
+        )
         sub_uturn = leaf_ok & ~ok
         leaf_ok = leaf_ok & ok
 
         new_leaf_idx = s.leaf_idx + 1
         subtree_done = leaf_ok & (new_leaf_idx >= s.n_leaves)
         push = leaf_ok & ~subtree_done
-        write_mask = push[:, None] & (
-            n_merges[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (1, n_slots), 1)
-        )  # (C, n_slots)
-        stack_e = jnp.where(
-            write_mask[:, :, None, None],
-            cur_end.astype(s.stack_e.dtype)[:, None], s.stack_e
+        # stack push: lane i writes slot n_merges[i]. Like the cascade,
+        # bounded by the batch-max write slot instead of a full-tensor
+        # masked select over all n_slots (which re-wrote every stack row
+        # every pass); each loop iteration touches ONE slot in place.
+        cur_end_e = cur_end.astype(s.stack_e.dtype)
+        max_w = jnp.max(jnp.where(push, n_merges, -1))
+
+        def _push_body(c):
+            j, stack_e = c
+            old = jax.lax.dynamic_index_in_dim(
+                stack_e, j, axis=1, keepdims=False
+            )
+            new = jnp.where(
+                (push & (n_merges == j))[:, None, None], cur_end_e, old
+            )
+            return j + 1, jax.lax.dynamic_update_index_in_dim(
+                stack_e, new, j, axis=1
+            )
+
+        _, stack_e = jax.lax.while_loop(
+            lambda c: c[0] <= max_w, _push_body, (jnp.int32(0), s.stack_e)
         )
 
         # reservoir (streaming Barker; see transition.py module docstring)
