@@ -161,6 +161,62 @@ class TestBatchedBitwise:
         assert int(res.n_outer_trips) > 0
 
 
+class TestBatchedDeepOrbits:
+    """Deep trajectory trees (max_trajectory_doublings=9, tiny step) so
+    the merge cascade pops MULTIPLE stack levels per leaf and the stack
+    push hits high slots — the regime the batch-max-bounded tier-2 loops
+    (``_cascade_body``/``_push_body``) must schedule without touching the
+    Markov chain."""
+
+    def test_deep_tree_bitwise_equal_classic(self, warmed):
+        lg, params = warmed["lg"], warmed["params"]
+        # tiny step + unit micro force long orbits: depth reaches 7-9, so
+        # leaf indices with 3-6 trailing zeros (multi-level cascades) occur
+        deep = jax.tree.map(jnp.array, params)._replace(
+            step_size=jnp.full_like(params.step_size, 0.05),
+            min_micro=jnp.ones_like(params.min_micro),
+        )
+        scfg = SamplingConfig(
+            min_iter=8, max_iter=8, block_size=8,
+            max_trajectory_doublings=9, max_step_halvings=8,
+        )
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        sstep = make_sample_step(lg, scfg)
+        vstep = jax.vmap(sstep)
+
+        def classic(s):
+            def body(s, _):
+                s, res = vstep(s, deep)
+                return s, (res.theta, res.logp, res.depth)
+
+            return jax.lax.scan(body, s, None, length=8)
+
+        _, (th, lp, dep) = jax.jit(classic)(ss)
+        assert int(jnp.max(dep)) >= 6, "fixture failed to reach deep trees"
+
+        start_block, sample_block = make_batched_sample_block(
+            lg, scfg.max_trajectory_doublings, scfg.max_step_halvings,
+            runahead=4, tier2_every=6,
+        )
+        ss2 = jax.tree.map(jnp.array, warmed["ss"])
+
+        @jax.jit
+        def blk(s):
+            st = start_block(
+                s.key, s.theta, s.n_grads, s.fails,
+                deep.step_size, deep.inv_mass, deep.min_micro,
+            )
+            return sample_block(
+                st, deep.step_size, deep.inv_mass, deep.min_micro,
+                jnp.asarray(scfg.max_hamiltonian_error), 8,
+            )
+
+        res = blk(ss2)
+        np.testing.assert_array_equal(np.asarray(th), np.asarray(res.draws))
+        np.testing.assert_array_equal(np.asarray(lp), np.asarray(res.logps))
+        np.testing.assert_array_equal(np.asarray(dep), np.asarray(res.depths))
+
+
 class TestBatchedRuntime:
     """run_sampling(batched=...) must reproduce the classic runtime's
     draws bitwise, including with dynamic cost-sorted groups and across
