@@ -107,6 +107,27 @@ class TestShardedSampling:
         thinned = pipeline(True, 2)
         np.testing.assert_array_equal(host[1::2], thinned)
 
+    def test_batched_on_mesh_matches_single_device(self, mesh):
+        """The batched-native scheduler's cross-lane ops (jnp.max/jnp.any)
+        must lower to collectives under the mesh without touching the
+        chain: sharded batched == single-device batched through warmup AND
+        sampling. Same tolerance as the classic mesh test above — the
+        per-device batch shape perturbs XLA's vectorization at the ULP
+        level (measured 9e-16 on 2/36 elements), exactly as for the
+        classic path; single-device batched == classic stays bitwise
+        (tests/test_batched.py)."""
+        logp, dim = std_normal(3)
+        kwargs = dict(
+            num_params=dim, num_chains=16, seed=99,
+            min_warmup_iter=12, max_warmup_iter=12,
+            min_sampling_iter=12, max_sampling_iter=12, block_size=6,
+        )
+        out_mesh = walnuts(logp, mesh=mesh, batched=True, **kwargs)
+        out_single = walnuts(logp, mesh=None, batched=True, **kwargs)
+        for a, b in zip(out_mesh, out_single):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-10)
+
     def test_early_stopping_on_mesh(self, mesh):
         logp, dim = std_normal(2)
         out, info = walnuts(

@@ -156,11 +156,9 @@ def run_warmup(
     """
     state = shard_chains(state, mesh)
     if batched:
-        if mesh is not None:
-            raise ValueError(
-                "batched requires mesh=None (use the classic scheduler "
-                "on a mesh)"
-            )
+        # works sharded too: the scheduler's only cross-lane ops are
+        # jnp.max/jnp.any reductions (order-independent), which the
+        # global-view jit lowers to collectives over the chain axis
         from walnuts_tpu.core.batched import make_batched_warmup_block
 
         warmup_block = make_batched_warmup_block(logp_grad, sampling_cfg)
@@ -336,17 +334,21 @@ def run_sampling(
     (docs/BENCHMARKS.md). Draws are bitwise identical to the classic
     path per lane; ``n_grads`` drops by one per draw (the trajectory
     start gradient is cached from the previous draw within a block).
-    Single-device (``mesh=None``); compatible with checkpointing (the
-    carried state is block-boundary interchangeable with the classic
-    path's).
+    Mesh-compatible at ``batched_groups=1`` (the scheduler's cross-lane
+    ops are order-independent jnp.max/jnp.any reductions, lowered to
+    collectives over the sharded chain axis); the dynamic cost-sorted
+    groups sort on the host and need ``mesh=None``. Compatible with
+    checkpointing (the carried state is block-boundary interchangeable
+    with the classic path's).
     """
     if flatten and chain_groups > 1:
         raise ValueError("flatten is incompatible with chain_groups")
     if batched and (flatten or chain_groups > 1):
         raise ValueError("batched is incompatible with flatten/chain_groups")
-    if batched and mesh is not None:
+    if batched_groups > 1 and mesh is not None:
         raise ValueError(
-            "batched requires mesh=None (use the classic scheduler on a mesh)"
+            "batched_groups > 1 requires mesh=None (the per-block cost "
+            "sort is a host-side gather)"
         )
     if batched_groups > 1 and not batched:
         raise ValueError("batched_groups requires batched=True")
