@@ -135,11 +135,57 @@ def main() -> int:
             flush=True,
         )
 
+    # the batched-native scheduler over the same meshes: its per-trip
+    # liveness tests (jnp.any/jnp.max over the sharded chain axis) are
+    # collectives, i.e. much chattier than the classic path's per-draw
+    # conds — this sweep quantifies that extra cost (on hardware each is
+    # one small ICI all-reduce per trip)
+    from walnuts_tpu.core.batched import make_batched_sample_block
+
+    start_blk, sample_blk = make_batched_sample_block(
+        lg, scfg.max_trajectory_doublings, scfg.max_step_halvings
+    )
+    me = jnp.asarray(scfg.max_hamiltonian_error, theta0.dtype)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def bblock(s, p, n):
+        st = start_blk(
+            s.key, s.theta, s.n_grads, s.fails,
+            p.step_size, p.inv_mass, p.min_micro,
+        )
+        res = sample_blk(
+            st, p.step_size, p.inv_mass, p.min_micro, me, n
+        )
+        return s._replace(key=res.key, theta=res.draws[-1]), res.logps
+
+    rows_b = []
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(devices) or ndev > max_dev:
+            break
+        mesh = Mesh(np.array(devices[:ndev]), ("chains",))
+        s = shard_chains(jax.tree.map(jnp.array, ss0), mesh)
+        p = shard_chains(jax.tree.map(jnp.array, params0), mesh)
+        s, lp = bblock(s, p, BLOCK)
+        jax.block_until_ready(lp)
+        t0 = time.time()
+        for _ in range(REPS):
+            s, lp = bblock(s, p, BLOCK)
+        jax.block_until_ready(lp)
+        t_block = (time.time() - t0) / REPS
+        rows_b.append((ndev, t_block))
+        print(
+            f"devices={ndev}: BATCHED block({BLOCK} draws x {C} chains) "
+            f"{t_block * 1e3:8.1f} ms",
+            flush=True,
+        )
+
     base_t = rows[0][1]
     worst = max(t for _, t, _ in rows) / base_t
+    worst_b = max(t for _, t in rows_b) / rows_b[0][1]
     print(
         f"\nsharding overhead (same total work, 1 -> {rows[-1][0]} devices): "
-        f"{(worst - 1) * 100:.1f}% worst-case; reduction cost per block "
+        f"classic {(worst - 1) * 100:.1f}% worst-case, batched "
+        f"{(worst_b - 1) * 100:.1f}%; reduction cost per block "
         f"<= {max(tr for _, _, tr in rows) * 1e6:.0f} us",
         flush=True,
     )

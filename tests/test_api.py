@@ -115,6 +115,49 @@ class TestDeterminism:
         out = self._run(5)
         assert not np.array_equal(np.asarray(out[0]), np.asarray(out[1]))
 
+    def test_batched_auto_default(self):
+        """batched=None auto-selects the batched scheduler; since it is
+        bitwise-identical, default == batched=True == batched=False."""
+        kw = dict(
+            seed=99,
+            min_warmup_iter=15, max_warmup_iter=15,
+            min_sampling_iter=15, max_sampling_iter=15,
+        )
+        out_auto = sample(**kw)
+        out_on = sample(batched=True, **kw)
+        out_off = sample(batched=False, **kw)
+        for a, b, c in zip(out_auto, out_on, out_off):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    def test_batched_rejects_custom_integrator(self):
+        """A user-built fused integrator must never be silently dropped:
+        explicit batched=True + integrator raises; the auto default
+        falls back to the classic scheduler and uses it."""
+        import pytest
+
+        import jax
+
+        from walnuts_tpu.models import std_normal
+        from walnuts_tpu.ops.math import make_logp_grad
+        from walnuts_tpu.ops.integrator import make_pallas_integrator
+
+        logp, dim = std_normal(2)
+        integ = make_pallas_integrator(
+            jax.vmap(make_logp_grad(logp)), block_b=2, interpret=True
+        )
+        kw = dict(
+            num_params=dim, num_chains=2, seed=3,
+            min_warmup_iter=5, max_warmup_iter=5,
+            min_sampling_iter=5, max_sampling_iter=5,
+        )
+        from walnuts_tpu import walnuts
+
+        with pytest.raises(ValueError, match="integrator"):
+            walnuts(logp, batched=True, integrator=integ, **kw)
+        out = walnuts(logp, integrator=integ, **kw)  # auto -> classic
+        assert np.all(np.isfinite(np.asarray(out[0])))
+
 
 class TestOutputs:
     def test_shapes_and_attributes(self):

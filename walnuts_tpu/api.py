@@ -83,7 +83,7 @@ def walnuts(
     integrator=None,
     bf16_ends: bool = False,
     flatten: bool = False,
-    batched: bool = False,
+    batched: Optional[bool] = None,
     batched_groups: int = 1,
     runahead: int = 8,
     tier2_every: int = 6,
@@ -138,9 +138,12 @@ def walnuts(
       are bitwise identical for every setting); ``batched_groups > 1``
       re-sorts chains every block by realized gradient cost and runs the
       groups sequentially. Draws are bitwise identical to the classic
-      scheduler per chain; the fastest path measured on
-      divergent-trajectory models (funnel, SV) at large chain counts
-      (docs/BENCHMARKS.md). Sampling phase only; single device.
+      scheduler per chain; the fastest path measured on EVERY bench
+      model (funnel/logreg/SV — docs/BENCHMARKS.md), so the default
+      (``None``) selects it automatically whenever it is compatible
+      (no custom ``integrator``, no ``flatten``/``chain_groups``); pass
+      ``False`` to force the classic per-draw scheduler. Applies to
+      warmup and sampling; mesh-compatible at ``batched_groups=1``.
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
@@ -183,6 +186,16 @@ def walnuts(
     transfers behind the sampler.
     """
     dtype = dtype or _default_dtype()
+    if batched is None:
+        # auto-select the measured-fastest compatible scheduler: the
+        # batched-native path emits bitwise-identical draws, so this is a
+        # pure scheduling default (docs/BENCHMARKS.md round 3)
+        batched = (
+            integrator is None
+            and not flatten
+            and chain_groups == 1
+            and (batched_groups == 1 or mesh is None)
+        )
     if num_params is None:
         if inits is None:
             raise ValueError("must specify at least one of num_params or inits")

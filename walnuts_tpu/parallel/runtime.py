@@ -156,6 +156,11 @@ def run_warmup(
     """
     state = shard_chains(state, mesh)
     if batched:
+        if integrator is not None:
+            raise ValueError(
+                "batched is incompatible with a custom integrator "
+                "(pass batched=False to use it)"
+            )
         # works sharded too: the scheduler's only cross-lane ops are
         # jnp.max/jnp.any reductions (order-independent), which the
         # global-view jit lowers to collectives over the chain axis
@@ -345,6 +350,13 @@ def run_sampling(
         raise ValueError("flatten is incompatible with chain_groups")
     if batched and (flatten or chain_groups > 1):
         raise ValueError("batched is incompatible with flatten/chain_groups")
+    if batched and integrator is not None:
+        # never silently drop a user-built fused integrator: the batched
+        # scheduler integrates inside its own trip loop
+        raise ValueError(
+            "batched is incompatible with a custom integrator "
+            "(pass batched=False to use it)"
+        )
     if batched_groups > 1 and mesh is not None:
         raise ValueError(
             "batched_groups > 1 requires mesh=None (the per-block cost "
