@@ -244,6 +244,12 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
 def main():
     import jax
 
+    # BENCH_PLATFORM=cpu forces a backend for TPU-less smoke runs (the
+    # axon plugin overrides the JAX_PLATFORMS env var, so this must be a
+    # config update before any device use — CLAUDE.md environment rules)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     # persistent compile cache: repeat runs (and the driver's) skip the
     # multi-minute XLA compiles
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
