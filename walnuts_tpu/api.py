@@ -190,12 +190,7 @@ def walnuts(
         # auto-select the measured-fastest compatible scheduler: the
         # batched-native path emits bitwise-identical draws, so this is a
         # pure scheduling default (docs/BENCHMARKS.md round 3)
-        batched = (
-            integrator is None
-            and not flatten
-            and chain_groups == 1
-            and (batched_groups == 1 or mesh is None)
-        )
+        batched = integrator is None and not flatten and chain_groups == 1
     if num_params is None:
         if inits is None:
             raise ValueError("must specify at least one of num_params or inits")
