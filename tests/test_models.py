@@ -86,3 +86,28 @@ class TestStochasticVolatility:
         assert phi.mean() > 0.0  # persistence is positive in the data
         # chains actually move
         assert np.std(draws[:, :, 1], axis=1).min() > 0.0
+
+    def test_f32_logp_grad_finite_at_deep_negative_h(self):
+        """Overflow-stability regression (targets.py log-stabilized
+        likelihood): one latent h_t dipping to -92 makes the naive
+        r_t^2 * exp(-h_t) form overflow f32 (exp(92) = inf -> logp
+        -inf, grad NaN — the bug that permanently stuck 197/1024
+        flagship lanes), while the stable exp(log r_t^2 - h_t) form
+        stays finite because the TERM value (~e^84 here) is
+        representable. Constructed at the smallest-|r| time step so
+        the term exponent stays below the f32 ceiling."""
+        from walnuts_tpu.models.targets import stochastic_volatility_data
+
+        logp, dim = stochastic_volatility(num_times=64)
+        log_r2 = np.log(np.square(stochastic_volatility_data(64)))
+        t_star = int(np.argmin(log_r2))
+        assert log_r2[t_star] + 92.0 < 88.0  # term itself is f32-finite
+        # phi_raw = 0, log_sigma = 0, mu = 0 -> h = z (identity filter);
+        # dip exactly one h_t
+        theta = jnp.zeros(dim, jnp.float32).at[3 + t_star].set(-92.0)
+        lp, grad = jax.value_and_grad(logp)(theta)
+        assert np.isfinite(float(lp)), lp
+        assert np.isfinite(np.asarray(grad)).all()
+        # the naive intermediate at t_star would have been inf in f32
+        with np.errstate(over="ignore"):
+            assert np.isinf(np.exp(np.float32(92.0)))
