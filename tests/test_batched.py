@@ -77,7 +77,7 @@ def warmed():
 
 
 def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
-                defer_splits=True):
+                defer_splits=True, pallas_replay=False):
     lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
     ss = jax.tree.map(jnp.array, warmed["ss"])
     start_block, sample_block = make_batched_sample_block(
@@ -88,6 +88,7 @@ def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
         tier2_every=K,
         min_latched=min_latched,
         defer_splits=defer_splits,
+        pallas_replay=pallas_replay,
     )
 
     @jax.jit
@@ -121,6 +122,20 @@ class TestBatchedBitwise:
         np.testing.assert_array_equal(dep, np.asarray(res.depths))
         # end-of-block keys identical -> the NEXT block (classic or
         # batched) continues the same stream
+        np.testing.assert_array_equal(
+            key_data, np.asarray(jax.random.key_data(res.key))
+        )
+
+    @pytest.mark.parametrize("B,K", [(8, 6), (4, 12)])
+    def test_pallas_replay_bitwise_equal_classic(self, warmed, B, K):
+        """The fused replay-chain kernel (ops/prng.py, interpret mode on
+        CPU) is the same RNG stream: draws and end-of-block keys stay
+        bitwise equal to the classic sampler."""
+        th, lp, dep, key_data, _ = warmed["classic"]
+        res = run_batched(warmed, B, K, pallas_replay=True)
+        np.testing.assert_array_equal(th, np.asarray(res.draws))
+        np.testing.assert_array_equal(lp, np.asarray(res.logps))
+        np.testing.assert_array_equal(dep, np.asarray(res.depths))
         np.testing.assert_array_equal(
             key_data, np.asarray(jax.random.key_data(res.key))
         )

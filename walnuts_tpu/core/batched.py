@@ -179,6 +179,7 @@ def make_batched_sample_block(
     bf16_ends: bool = False,
     min_latched: int = 0,
     defer_splits: bool = True,
+    pallas_replay: bool = False,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -215,6 +216,14 @@ def make_batched_sample_block(
     Unlike the classic path (where the converts run per attempt and
     measured slower), here both the stack traffic and its converts are
     amortised into the tier-2 pass.
+
+    ``pallas_replay`` runs the deferred-split replay chain as one Pallas
+    launch (``ops/prng.py``) instead of a ``lax.while_loop`` of batched
+    splits — bit-identical subkeys (the kernel restates jax's
+    partitionable threefry arithmetic; tests/test_prng.py +
+    the scheduler bitwise suite), one launch per tier-2 pass instead of
+    up to K fused-elementwise rounds. Interpret-mode on non-TPU
+    backends.
     """
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
@@ -452,7 +461,24 @@ def make_batched_sample_block(
     def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
                    block_draws):
         dtype = s.ms_joint.dtype
-        if defer_splits:
+        if defer_splits and pallas_replay:
+            # one Pallas launch for the whole replay chain (ops/prng.py);
+            # bit-identical to the while-loop below
+            from walnuts_tpu.ops.prng import replay_split_chain
+
+            impl0 = jax.random.key_impl(s.key)
+            kd, ku_r = replay_split_chain(
+                jax.random.key_data(s.key).astype(jnp.uint32),
+                s.ku.astype(jnp.uint32), s.n_ends, s.leaf_end_at,
+                interpret=jax.default_backend() != "tpu",
+            )
+            s = s._replace(
+                key=jax.random.wrap_key_data(kd, impl=impl0),
+                ku=ku_r.astype(s.ku.dtype),
+                n_ends=jnp.zeros_like(s.n_ends),
+                leaf_end_at=jnp.zeros_like(s.leaf_end_at),
+            )
+        elif defer_splits:
             # replay the window's deferred key splits: each lane consumed
             # n_ends splits (sequential — split j feeds split j+1), and
             # the leaf-completing attempt's subkey becomes ku. The loop

@@ -1,0 +1,147 @@
+"""Fused PRNG kernels: the deferred key-split replay chain as ONE kernel.
+
+The batched scheduler (``core/batched.py``) defers the per-attempt key
+splits out of the integration loop and replays them in the amortised
+tier-2 pass: per lane, ``n_ends`` SEQUENTIAL splits (split ``j`` feeds
+split ``j+1``) with the leaf-completing attempt's second subkey latched
+as ``ku``. As XLA ops that replay is a ``lax.while_loop`` paying one
+fused-elementwise launch per round — up to ``tier2_every`` rounds per
+pass on (C,)-sized u32 data where the FIXED per-op cost dominates the
+~microsecond of ARX compute. This module runs the whole chain in one
+Pallas launch with the keys resident in VMEM.
+
+Bit-exactness: ``jax.random.split`` under the default
+``jax_threefry_partitionable`` lowering computes ``subkey_j =
+threefry2x32(key, hi=0, lo=j)`` (jax _src/prng.py
+``_threefry_split_foldlike``; Threefry-2x32, 20 rounds, rotations
+[13,15,26,6]/[17,29,16,24], key schedule ``k0, k1, k0^k1^0x1BD11BDA``).
+``_threefry2x32`` below restates that arithmetic with plain uint32 ops —
+integer ARX is exact, so the kernel's subkeys equal
+``jax.random.split``'s bitwise (tests/test_prng.py asserts it, and the
+batched scheduler's bitwise-vs-classic oracle covers the composition).
+
+Reference scope note: the reference samples ``std::mt19937_64`` draws
+inline per attempt (walnuts.hpp:322-345 via util.hpp Random); the
+counter-based replay schedule is this rebuild's TPU-native redesign of
+that stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_ROTS = ((13, 15, 26, 6), (17, 29, 16, 24))
+_PARITY = np.uint32(0x1BD11BDA)
+
+
+def _threefry2x32(k0: Array, k1: Array, c0: Array, c1: Array):
+    """Threefry-2x32 hash on uint32 arrays — bit-identical to jax's
+    ``threefry2x32_p`` lowering (jax _src/prng.py
+    ``_threefry2x32_lowering``)."""
+
+    def rotl(x, r):
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    ks = (k0, k1, k0 ^ k1 ^ _PARITY)
+    x0 = c0 + ks[0]
+    x1 = c1 + ks[1]
+    for i in range(5):
+        for r in _ROTS[i % 2]:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x0 ^ x1
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + np.uint32(i + 1)
+    return x0, x1
+
+
+def split_data(key_data: Array) -> Array:
+    """``jax.random.split`` on raw key data: (..., 2) u32 -> (..., 2, 2).
+
+    Pure-jnp restatement (usable inside Pallas kernels); bitwise equal
+    to ``jax.random.key_data(jax.random.split(key))`` under the
+    partitionable threefry lowering.
+    """
+    k0, k1 = key_data[..., 0], key_data[..., 1]
+    zero = jnp.zeros_like(k0)
+    a0, a1 = _threefry2x32(k0, k1, zero, zero)
+    b0, b1 = _threefry2x32(k0, k1, zero, zero + np.uint32(1))
+    sub0 = jnp.stack([a0, a1], axis=-1)
+    sub1 = jnp.stack([b0, b1], axis=-1)
+    return jnp.stack([sub0, sub1], axis=-2)
+
+
+def _replay_kernel(k0_ref, k1_ref, ku0_ref, ku1_ref, nends_ref, leafend_ref,
+                   k0_out, k1_out, ku0_out, ku1_out):
+    k0 = k0_ref[...]
+    k1 = k1_ref[...]
+    ku0 = ku0_ref[...]
+    ku1 = ku1_ref[...]
+    n_ends = nends_ref[...]
+    leaf_end = leafend_ref[...]
+    zero = jnp.zeros_like(k0)
+
+    def body(j, carry):
+        k0, k1, ku0, ku1 = carry
+        s00, s01 = _threefry2x32(k0, k1, zero, zero)
+        s10, s11 = _threefry2x32(k0, k1, zero, zero + np.uint32(1))
+        adv = j < n_ends
+        hit = adv & (leaf_end == j + 1)
+        return (
+            jnp.where(adv, s00, k0),
+            jnp.where(adv, s01, k1),
+            jnp.where(hit, s10, ku0),
+            jnp.where(hit, s11, ku1),
+        )
+
+    k0, k1, ku0, ku1 = jax.lax.fori_loop(
+        0, jnp.max(n_ends), body, (k0, k1, ku0, ku1)
+    )
+    k0_out[...] = k0
+    k1_out[...] = k1
+    ku0_out[...] = ku0
+    ku1_out[...] = ku1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def replay_split_chain(key_data: Array, ku_data: Array, n_ends: Array,
+                       leaf_end_at: Array, *, interpret: bool = False):
+    """Run the whole deferred-split replay in one Pallas launch.
+
+    Per lane: advance ``key`` through ``n_ends`` sequential splits
+    (taking subkey 0 each round); at round ``leaf_end_at`` (1-based)
+    latch subkey 1 into ``ku``. Lanes with ``n_ends == 0`` pass through.
+
+    Args: ``key_data``/``ku_data`` (C, 2) uint32, ``n_ends``/
+    ``leaf_end_at`` (C,) int32. Returns updated ``(key_data, ku_data)``
+    — bitwise equal to the XLA while-loop replay in
+    ``core/batched.py`` (same arithmetic, integer-exact).
+    """
+    from jax.experimental import pallas as pl
+
+    c = key_data.shape[0]
+    col = lambda a, i: a[:, i].reshape(c, 1)
+    args = (
+        col(key_data, 0), col(key_data, 1),
+        col(ku_data, 0), col(ku_data, 1),
+        n_ends.reshape(c, 1), leaf_end_at.reshape(c, 1),
+    )
+    spec_u = pl.BlockSpec((c, 1), lambda: (0, 0))
+    outs = pl.pallas_call(
+        _replay_kernel,
+        in_specs=[spec_u] * 6,
+        out_specs=[spec_u] * 4,
+        out_shape=[jax.ShapeDtypeStruct((c, 1), jnp.uint32)] * 4,
+        interpret=interpret,
+    )(*args)
+    k0, k1, ku0, ku1 = (o[:, 0] for o in outs)
+    return jnp.stack([k0, k1], axis=-1), jnp.stack([ku0, ku1], axis=-1)
+
+
+__all__ = ["split_data", "replay_split_chain"]

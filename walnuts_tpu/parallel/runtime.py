@@ -284,6 +284,7 @@ def run_sampling(
     tier2_every: int = 6,
     min_latched: int = 0,
     defer_splits: bool = True,
+    pallas_replay: bool = False,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -493,6 +494,7 @@ def run_sampling(
             bf16_ends=bf16_ends,
             min_latched=min_latched,
             defer_splits=defer_splits,
+            pallas_replay=pallas_replay,
         )
         b_max_error = sampling_cfg.max_hamiltonian_error
 
