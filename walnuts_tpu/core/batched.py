@@ -871,7 +871,8 @@ def make_batched_sample_block(
     return start_block, sample_block
 
 
-def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg):
+def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
+                              pallas_replay: bool = False):
     """Batched-native ADAPTIVE WARMUP block.
 
     Warmup cannot run ahead — every draw's transition reads parameters
@@ -907,6 +908,7 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg):
         runahead=1,
         tier2_every=K,
         adapt_step_size=True,
+        pallas_replay=pallas_replay,
     )
     inner_trip = sample_block.inner_trip
     leaf_apply = sample_block.leaf_apply

@@ -136,6 +136,7 @@ def run_warmup(
     unroll: int = 1,
     info: Optional[RunInfo] = None,
     batched: bool = False,
+    pallas_replay: bool = False,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -166,7 +167,9 @@ def run_warmup(
         # global-view jit lowers to collectives over the chain axis
         from walnuts_tpu.core.batched import make_batched_warmup_block
 
-        warmup_block = make_batched_warmup_block(logp_grad, sampling_cfg)
+        warmup_block = make_batched_warmup_block(
+            logp_grad, sampling_cfg, pallas_replay=pallas_replay
+        )
 
         @partial(jax.jit, static_argnums=1, donate_argnums=0)
         def run_block(s: WarmupState, n: int):
