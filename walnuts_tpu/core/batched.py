@@ -811,16 +811,46 @@ def make_batched_sample_block(
                 st, complete, sel_theta, sel_logp, out_depth, _ = leaf_apply(
                     st, active, step, inv_mass, min_micro, R
                 )
-                # bank completed draws: one stacked masked write
-                # (draw index = pre-increment draws_done)
+                # bank completed draws (draw index = pre-increment
+                # draws_done). Like the cascade/push loops in leaf_apply,
+                # bounded by the slot range the completing lanes actually
+                # occupy instead of a stacked masked write over all B
+                # buffer rows: completions in one pass cluster within
+                # 1-2 adjacent draws_done values, so the loop touches 1-2
+                # (C, D) rows where the masked write re-wrote B.
+                # Bitwise-identical: the skipped rows received only their
+                # old values.
                 slot = (st.draws_done - 1) % B  # valid where complete
-                m = complete[None, :] & (
-                    slot[None, :]
-                    == jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-                )  # (B, C)
-                bt = jnp.where(m[:, :, None], sel_theta[None], bt)
-                bl = jnp.where(m, sel_logp[None], bl)
-                bd = jnp.where(m, out_depth[None], bd)
+                lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
+                hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
+
+                def bank_body(c):
+                    j, bt, bl, bd = c
+                    mj = complete & (slot == j)
+                    row = jax.lax.dynamic_index_in_dim(
+                        bt, j, axis=0, keepdims=False
+                    )
+                    row = jnp.where(mj[:, None], sel_theta, row)
+                    bt = jax.lax.dynamic_update_index_in_dim(
+                        bt, row, j, axis=0
+                    )
+                    lrow = jax.lax.dynamic_index_in_dim(
+                        bl, j, axis=0, keepdims=False
+                    )
+                    bl = jax.lax.dynamic_update_index_in_dim(
+                        bl, jnp.where(mj, sel_logp, lrow), j, axis=0
+                    )
+                    drow = jax.lax.dynamic_index_in_dim(
+                        bd, j, axis=0, keepdims=False
+                    )
+                    bd = jax.lax.dynamic_update_index_in_dim(
+                        bd, jnp.where(mj, out_depth, drow), j, axis=0
+                    )
+                    return j + 1, bt, bl, bd
+
+                _, bt, bl, bd = jax.lax.while_loop(
+                    lambda c: c[0] <= hi, bank_body, (lo, bt, bl, bd)
+                )
                 return st, bt, bl, bd, trips
 
             carry = jax.lax.while_loop(
