@@ -122,6 +122,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         runahead=int(os.environ.get("BENCH_RUNAHEAD", default_runahead)),
         tier2_every=int(os.environ.get("BENCH_T2K", default_t2k)),
         pallas_replay=bool(int(os.environ.get("BENCH_PREPLAY", 0))),
+        fresh_cur=bool(int(os.environ.get("BENCH_FRESHCUR", 0))),
         unroll=unroll,
     )
     jax.block_until_ready((sstate, draws))

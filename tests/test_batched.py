@@ -77,7 +77,7 @@ def warmed():
 
 
 def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
-                defer_splits=True, pallas_replay=False):
+                defer_splits=True, pallas_replay=False, fresh_cur=False):
     lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
     ss = jax.tree.map(jnp.array, warmed["ss"])
     start_block, sample_block = make_batched_sample_block(
@@ -89,6 +89,7 @@ def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
         min_latched=min_latched,
         defer_splits=defer_splits,
         pallas_replay=pallas_replay,
+        fresh_cur=fresh_cur,
     )
 
     @jax.jit
@@ -138,6 +139,30 @@ class TestBatchedBitwise:
         np.testing.assert_array_equal(dep, np.asarray(res.depths))
         np.testing.assert_array_equal(
             key_data, np.asarray(jax.random.key_data(res.key))
+        )
+
+    @pytest.mark.parametrize("B,K", [(8, 6), (1, 0)])
+    def test_fresh_cur_exact_logic_eager(self, warmed, B, K):
+        """fresh_cur (tier-2 marks the cursor stale instead of writing
+        cur := ms; the next trip integrates from ms) computes the exact
+        same real-number chain — proven here bitwise in EAGER mode,
+        where each op runs unfused. Under jit it is valid-but-not-
+        bitwise: the select feeding the leapfrog changes XLA's fusion/
+        FMA contraction (measured ~1e-17 per trip on CPU f64), the same
+        correctness class as ``bf16_ends``. Short horizon: eager while
+        loops are slow."""
+        with jax.disable_jit():
+            r0 = run_batched(warmed, B, K, num_draws=2)
+            r1 = run_batched(warmed, B, K, num_draws=2, fresh_cur=True)
+        np.testing.assert_array_equal(np.asarray(r0.draws),
+                                      np.asarray(r1.draws))
+        np.testing.assert_array_equal(np.asarray(r0.logps),
+                                      np.asarray(r1.logps))
+        np.testing.assert_array_equal(np.asarray(r0.depths),
+                                      np.asarray(r1.depths))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(r0.key)),
+            np.asarray(jax.random.key_data(r1.key)),
         )
 
     @pytest.mark.parametrize("B,K", [(8, 6), (8, 0), (4, 12)])

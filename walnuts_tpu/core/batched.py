@@ -130,6 +130,8 @@ class LaneState(NamedTuple):
     phase: Array           # int32
     cur: Array             # (C, 3, D) cursor [theta, rho, grad]
     lp_cur: Array          # position log density at the cursor
+    fresh: Array           # bool: cursor invalid, integrate from ms
+                           # (fresh_cur mode; always False otherwise)
     fwd: Array             # (C, 3, D) saved forward endpoint
     fwd_logp_pos: Array
     fwd_joint: Array
@@ -180,6 +182,7 @@ def make_batched_sample_block(
     min_latched: int = 0,
     defer_splits: bool = True,
     pallas_replay: bool = False,
+    fresh_cur: bool = False,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -224,6 +227,20 @@ def make_batched_sample_block(
     the scheduler bitwise suite), one launch per tier-2 pass instead of
     up to K fused-elementwise rounds. Interpret-mode on non-TPU
     backends.
+
+    ``fresh_cur`` moves the tier-2 cursor reset into the integration
+    trip: instead of writing the 3-row ``cur`` block (``cur := ms`` for
+    restarting/continuing lanes, a full (C, 3, D) read+write per pass),
+    tier 2 sets a per-lane ``fresh`` bit and the next trip integrates
+    from ``ms`` — which the trip already reads for its halving-restart
+    select — via one fused select. The scheduling logic is EXACTLY the
+    classic chain (bitwise in eager mode, tests/test_batched.py), but
+    under jit the select feeding the leapfrog changes XLA's fusion/FMA
+    contraction (~1e-17/trip on CPU f64), so jitted draws are valid-
+    but-not-bitwise — the same correctness class as ``bf16_ends``.
+    Trades ~6 (C, D) rows of pass traffic for one select in the trip
+    body; A/B on hardware decides whether that is worth the weaker
+    oracle. Off by default.
     """
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
@@ -294,6 +311,7 @@ def make_batched_sample_block(
             phase=jnp.zeros((C,), jnp.int32),
             cur=start,
             lp_cur=logp0,
+            fresh=jnp.zeros((C,), bool),
             # fwd/fwd_logp_pos/fwd_joint are never read before a passing
             # forward attempt writes them (same latent-garbage contract
             # as the classic path's span fields) — initialised to the
@@ -334,7 +352,14 @@ def make_batched_sample_block(
         dtype = s.ms_joint.dtype
         run = active & ~s.leaf_done
 
-        th, rho, gr, lp = vleapfrog(inv_mass, s.dt, s.cur)
+        if fresh_cur:
+            # the tier-2 pass marked this lane's cursor stale instead of
+            # writing cur := ms (fresh_cur mode): materialise the leaf
+            # start here, fused into the leapfrog's input read
+            base = jnp.where(s.fresh[:, None, None], s.ms, s.cur)
+        else:
+            base = s.cur
+        th, rho, gr, lp = vleapfrog(inv_mass, s.dt, base)
         cur_n = jnp.stack([th, rho, gr], axis=1)  # (C, 3, D)
         cur = jnp.where(run[:, None, None], cur_n, s.cur)
         lp_cur = jnp.where(run, lp, s.lp_cur)
@@ -447,6 +472,7 @@ def make_batched_sample_block(
             leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku,
             n_ends=n_ends, leaf_end_at=leaf_end_at, adam=adam,
             n_grads=n_grads, fails=fails,
+            fresh=s.fresh & ~run if fresh_cur else s.fresh,
         )
 
     # ------------------------------------------------------------------
@@ -745,7 +771,10 @@ def make_batched_sample_block(
             steps_done=jnp.where(rc, jnp.int32(0), s.steps_done),
             steps_total=jnp.where(rc, min_micro, s.steps_total),
             phase=jnp.where(rc, jnp.int32(_PH_FWD), s.phase),
-            cur=jnp.where(rc2, ms, s.cur),
+            # fresh_cur: mark the cursor stale (one (C,) bit) and let the
+            # next trip integrate from ms, instead of the 3-row write
+            cur=s.cur if fresh_cur else jnp.where(rc2, ms, s.cur),
+            fresh=(s.fresh | rc) if fresh_cur else s.fresh,
             lp_cur=jnp.where(restart, sel_logp, s.lp_cur),
             leaf_done=jnp.where(active & s.leaf_done, False, s.leaf_done),
             leaf_ok=jnp.where(active & s.leaf_done, False, s.leaf_ok),

@@ -288,6 +288,7 @@ def run_sampling(
     min_latched: int = 0,
     defer_splits: bool = True,
     pallas_replay: bool = False,
+    fresh_cur: bool = False,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -498,6 +499,7 @@ def run_sampling(
             min_latched=min_latched,
             defer_splits=defer_splits,
             pallas_replay=pallas_replay,
+            fresh_cur=fresh_cur,
         )
         b_max_error = sampling_cfg.max_hamiltonian_error
 
