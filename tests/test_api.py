@@ -116,8 +116,10 @@ class TestDeterminism:
         assert not np.array_equal(np.asarray(out[0]), np.asarray(out[1]))
 
     def test_batched_auto_default(self):
-        """batched=None auto-selects the batched scheduler; since it is
-        bitwise-identical, default == batched=True == batched=False."""
+        """batched=None auto-selects the batched scheduler: default ==
+        batched=True bitwise; == batched=False to float-contraction
+        tolerance (the async warmup's adaptation differs from classic by
+        ~1 ulp/observe — tests/test_batched.py has the full oracle)."""
         kw = dict(
             seed=99,
             min_warmup_iter=15, max_warmup_iter=15,
@@ -128,7 +130,9 @@ class TestDeterminism:
         out_off = sample(batched=False, **kw)
         for a, b, c in zip(out_auto, out_on, out_off):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-7, atol=1e-7
+            )
 
     def test_batched_rejects_custom_integrator(self):
         """A user-built fused integrator must never be silently dropped:

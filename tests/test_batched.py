@@ -314,12 +314,22 @@ class TestBatchedRuntime:
             run_sampling(warmed["lg"], ss, warmed["params"], scfg,
                          batched_groups=2)
 
-    def test_batched_warmup_bitwise(self):
-        """run_warmup(batched=True) reproduces the classic adaptive
-        warmup bitwise: draws, log densities, adapted step sizes, mass,
-        min-micro, and end keys — across multiple blocks — while caching
-        the per-draw trajectory-start gradient (one fresh evaluation per
-        block instead of per draw)."""
+    def test_batched_warmup_matches_classic(self):
+        """run_warmup(batched=True) — the ASYNCHRONOUS per-lane warmup —
+        reproduces the classic adaptive warmup exactly in schedule and to
+        float-contraction tolerance in values, across multiple blocks:
+
+        * end PRNG keys are BITWISE equal (integer arithmetic — proves
+          the per-lane split schedule, and hence the Markov schedule, is
+          identical);
+        * draws / log densities / frozen params match to ~1e-9 (not
+          bitwise: the classic program FMA-contracts the Welford mass
+          observe where the batched pass kernel rounds per-op — measured
+          ~1 ulp per observe, the batched side matching a NumPy per-op
+          replay bit-for-bit; lax.optimization_barrier cannot force
+          either contraction);
+        * the cached trajectory-start gradient accounting is exact (one
+          fresh evaluation per block instead of per draw)."""
         from walnuts_tpu.config import SamplingConfig, WarmupConfig
         from walnuts_tpu.core.adapt import nutpie_init_mass
         from walnuts_tpu.core.sampler import init_warmup_state
@@ -358,12 +368,22 @@ class TestBatchedRuntime:
         ws_b, db, lb, _ = run_warmup(
             lg, mkws(), wcfg, scfg, save_warmup=True, batched=True
         )
-        np.testing.assert_array_equal(dc, db)
-        np.testing.assert_array_equal(lc, lb)
+        np.testing.assert_allclose(dc, db, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(lc, lb, rtol=1e-9, atol=1e-9)
         pc = jax.vmap(freeze_params)(ws_c)
         pb = jax.vmap(freeze_params)(ws_b)
-        for a, b in zip(pc, pb):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(pc.step_size), np.asarray(pb.step_size), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc.inv_mass), np.asarray(pb.inv_mass), rtol=1e-9
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pc.min_micro), np.asarray(pb.min_micro)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ws_c.iteration), np.asarray(ws_b.iteration)
+        )
         np.testing.assert_array_equal(
             jax.random.key_data(ws_c.key), jax.random.key_data(ws_b.key)
         )
@@ -372,9 +392,27 @@ class TestBatchedRuntime:
             np.asarray(ws_b.n_grads), np.asarray(ws_c.n_grads) - 33
         )
 
+        # within the async family the run-ahead depth is scheduling-only:
+        # any B must give BITWISE-identical draws and end state
+        ws_b1, db1, lb1, _ = run_warmup(
+            lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
+            runahead=1,
+        )
+        np.testing.assert_array_equal(np.asarray(db), np.asarray(db1))
+        np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb1))
+        np.testing.assert_array_equal(
+            jax.random.key_data(ws_b.key), jax.random.key_data(ws_b1.key)
+        )
+        for a, b in zip(jax.tree.leaves(ws_b.mass),
+                        jax.tree.leaves(ws_b1.mass)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_api_batched_end_to_end(self):
-        """walnuts(batched=True, batched_groups=2) returns the same draws
-        as the classic scheduler through the full public API."""
+        """walnuts(batched=True, batched_groups=2) matches the classic
+        scheduler through the full public API: allclose end-to-end (the
+        async warmup's adaptation differs from classic by float
+        contraction only — see test_batched_warmup_matches_classic) and
+        BITWISE within the batched family across group counts."""
         from walnuts_tpu import walnuts
         from walnuts_tpu.models import funnel as funnel_model
 
@@ -384,7 +422,12 @@ class TestBatchedRuntime:
             min_warmup_iter=20, max_warmup_iter=20,
             min_sampling_iter=16, max_sampling_iter=16, block_size=8,
         )
-        classic = walnuts(logp, **kw)
+        classic = walnuts(logp, batched=False, **kw)
         batched = walnuts(logp, batched=True, batched_groups=2, **kw)
         for a, b in zip(classic, batched):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-7
+            )
+        batched1 = walnuts(logp, batched=True, **kw)
+        for a, b in zip(batched1, batched):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -113,7 +113,19 @@ def online_moments_init(init_weight, init_mean: Array, init_variance: Array) -> 
 def online_moments_observe(
     state: OnlineMomentsState, discount: Array, y: Array
 ) -> OnlineMomentsState:
-    """Discount the past by ``discount`` then fold in ``y`` with weight 1."""
+    """Discount the past by ``discount`` then fold in ``y`` with weight 1.
+
+    Bitwise note: the ``a*b + c`` sites may or may not be FMA-contracted
+    by the backend depending on the surrounding fusion — measured on CPU:
+    the classic warmup's fused scan body contracts ``sum_sq_dev`` while
+    the batched asynchronous warmup's pass kernel rounds each product
+    (matching a NumPy per-op replay), ~1 ulp apart, and
+    ``lax.optimization_barrier`` around the products does NOT stop the
+    contraction. Cross-program bitwise equality of warmup adaptation is
+    therefore not guaranteed; the warmup parity oracle pins the RNG keys
+    and integer outputs exactly and the floats to tight tolerances
+    (tests/test_batched.py).
+    """
     weight = discount * state.weight + 1.0
     delta = y - state.mean
     mean = state.mean + delta / weight

@@ -72,7 +72,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from walnuts_tpu.core.adapt import AdamState, adam_init, adam_update
+from walnuts_tpu.core.adapt import (
+    AdamState,
+    adam_init,
+    adam_step_size,
+    adam_update,
+    mass_estimator_inv_mass,
+    mass_estimator_observe,
+    min_micro_estimate,
+    min_micro_observe,
+)
 from walnuts_tpu.core.transition import (
     _LOGP_BK,
     _LOGP_FW,
@@ -183,6 +192,7 @@ def make_batched_sample_block(
     defer_splits: bool = True,
     pallas_replay: bool = False,
     fresh_cur: bool = False,
+    adapt_full: bool = False,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -241,6 +251,31 @@ def make_batched_sample_block(
     Trades ~6 (C, D) rows of pass traffic for one select in the trip
     body; A/B on hardware decides whether that is worth the weaker
     oracle. Off by default.
+
+    ``adapt_full`` turns the block into ASYNCHRONOUS ADAPTIVE WARMUP:
+    the per-lane warmup adaptation (mass estimator, min-micro estimator,
+    Adam — ``AdaptiveWalnuts::operator()``, adaptive_walnuts.hpp:234-251)
+    is applied inside the tier-2 pass the moment a lane's draw completes,
+    and the lane restarts immediately with ITS OWN freshly adapted
+    ``step``/``inv_mass``/``min_micro`` — no cross-lane draw barrier.
+    The adaptation dependency is strictly per-lane (each chain adapts
+    from its own draws, exactly as the reference's independent per-chain
+    warmup threads do), so lanes running ahead cannot change any lane's
+    Markov chain — the schedule is exact — while the padding drops from
+    the per-draw max toward the B-draw-window max (the same relaxation
+    the sampling scheduler gets from ``runahead``). Parity vs the
+    classic warmup is ulp-exact-in-schedule but not bitwise-in-floats:
+    the RNG keys and integer outputs match EXACTLY (same per-lane split
+    schedule), while the adapted floats differ by ~1 ulp/observe because
+    the classic program FMA-contracts the discounted-Welford update and
+    this pass kernel rounds each product (verified against a NumPy
+    per-op replay, which this path matches bit-for-bit; barriers cannot
+    force the classic contraction — see online_moments_observe). In this
+    mode ``sample_block`` grows a ``.adapt`` attribute:
+    ``sample_block_adapt(state, aux, max_error, num_draws) ->
+    (BatchedBlockResult, final LaneState, aux')`` where ``aux = (mass,
+    mm_est, iteration, inv_mass, step, min_micro)`` carries each lane's
+    estimator states and CURRENT-draw transition parameters.
     """
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
@@ -485,7 +520,7 @@ def make_batched_sample_block(
     # is the measured cost ceiling of the whole scheduler.
     # ------------------------------------------------------------------
     def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
-                   block_draws):
+                   block_draws, aux=None):
         dtype = s.ms_joint.dtype
         if defer_splits and pallas_replay:
             # one Pallas launch for the whole replay chain (ops/prng.py);
@@ -672,8 +707,49 @@ def make_batched_sample_block(
         restart = complete & (new_draws_done < block_draws)
         r1 = restart[:, None]
         r2 = restart[:, None, None]
+
+        if adapt_full:
+            # Per-lane warmup adaptation applied AT the lane's own draw
+            # boundary (AdaptiveWalnuts::operator(), adaptive_walnuts.hpp
+            # :234-251): observe the completed draw's selected point /
+            # gradient / reported depth, then derive the NEXT draw's
+            # step / inv_mass / min_micro for the restarting lanes only.
+            # Strictly per-lane math — lanes running ahead of each other
+            # cannot perturb any lane's chain, so the schedule stays
+            # bitwise-equal to the per-draw-synchronous warmup.
+            mass, mm_est, iteration = aux
+            mass_obs = jax.vmap(mass_estimator_observe)(
+                mass, sel_theta, sel_grad, iteration
+            )
+            mass = jax.tree.map(
+                lambda new, old: _where_lane(complete, new, old),
+                mass_obs, mass,
+            )
+            mm_obs = jax.vmap(min_micro_observe)(
+                mm_est, jnp.int32(1) << out_depth
+            )
+            mm_est = jax.tree.map(
+                lambda new, old: _where_lane(complete, new, old),
+                mm_obs, mm_est,
+            )
+            iteration = iteration + complete.astype(jnp.int32)
+            step_next = jnp.where(restart, adam_step_size(s.adam), step)
+            inv_mass_next = jnp.where(
+                restart[:, None],
+                jax.vmap(mass_estimator_inv_mass)(mass), inv_mass,
+            )
+            min_micro_next = jnp.where(
+                restart, jax.vmap(min_micro_estimate)(mm_est), min_micro
+            )
+            aux = (mass, mm_est, iteration,
+                   inv_mass_next, step_next, min_micro_next)
+        else:
+            step_next, inv_mass_next, min_micro_next = (
+                step, inv_mass, min_micro
+            )
+
         knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
-            s.key, sel_theta, sel_logp, sel_grad, step, inv_mass
+            s.key, sel_theta, sel_logp, sel_grad, step_next, inv_mass_next
         )
 
         cont = active & s.leaf_done & ~complete
@@ -769,7 +845,12 @@ def make_batched_sample_block(
                          jnp.where(cont, jnp.where(new_dir, step, -step),
                                    s.dt)),
             steps_done=jnp.where(rc, jnp.int32(0), s.steps_done),
-            steps_total=jnp.where(rc, min_micro, s.steps_total),
+            # restarting lanes pick up their (possibly just-adapted)
+            # next-draw min_micro; continuing lanes keep the current
+            # draw's value (identical arrays outside adapt_full)
+            steps_total=jnp.where(restart, min_micro_next,
+                                  jnp.where(cont, min_micro,
+                                            s.steps_total)),
             phase=jnp.where(rc, jnp.int32(_PH_FWD), s.phase),
             # fresh_cur: mark the cursor stale (one (C,) bit) and let the
             # next trip integrate from ms, instead of the 3-row write
@@ -783,7 +864,7 @@ def make_batched_sample_block(
                 + exhausted.astype(jnp.int32)
             ),
             draws_done=new_draws_done,
-        ), complete, sel_theta, sel_logp, out_depth, sel_grad
+        ), complete, sel_theta, sel_logp, out_depth, sel_grad, aux
 
     def sample_block(state: LaneState, step, inv_mass, min_micro,
                      max_error, num_draws: int):
@@ -837,8 +918,8 @@ def make_batched_sample_block(
                     inner_cond, inner_body, (st, trips[0])
                 )
                 trips = (n_inner, trips[1] + 1)
-                st, complete, sel_theta, sel_logp, out_depth, _ = leaf_apply(
-                    st, active, step, inv_mass, min_micro, R
+                st, complete, sel_theta, sel_logp, out_depth, _, _ = (
+                    leaf_apply(st, active, step, inv_mass, min_micro, R)
                 )
                 # bank completed draws (draw index = pre-increment
                 # draws_done). Like the cascade/push loops in leaf_apply,
@@ -922,134 +1003,235 @@ def make_batched_sample_block(
             n_outer_trips=trips[1],
         )
 
+    def sample_block_adapt(state: LaneState, aux, max_error, num_draws: int):
+        """Asynchronous adaptive-warmup block (``adapt_full=True``).
+
+        ``aux = (mass, mm_est, iteration, inv_mass, step, min_micro)``
+        carries each lane's estimator states and current-draw transition
+        parameters; lanes adapt and restart individually inside
+        ``leaf_apply`` (no cross-lane draw barrier — see the factory
+        docstring). Mirrors ``sample_block``'s run-ahead scan; the
+        banking loop is kept textually in sync with it rather than
+        shared, so the measured-hot sampling path stays untouched.
+        Returns ``(BatchedBlockResult, final LaneState, aux')``.
+        """
+        R = int(num_draws)
+        dtype = state.ms_joint.dtype
+        C, D = state.run_sel.shape
+        max_error = jnp.asarray(max_error, dtype=dtype)
+        n_grads0 = state.n_grads
+        fails0 = state.fails
+
+        buf_theta = jnp.zeros((B, C, D), dtype)
+        buf_logp = jnp.full((B, C), -jnp.inf, dtype)
+        buf_depth = jnp.zeros((B, C), jnp.int32)
+
+        def scan_step(carry, r):
+            state, aux, buf_theta, buf_logp, buf_depth, trips = carry
+            cap = jnp.minimum(jnp.int32(R), r + B)
+
+            def outer_cond(c):
+                return jnp.any(c[0].draws_done <= r)
+
+            def outer_body(c):
+                st, aux, bt, bl, bd, trips = c
+                mass, mm_est, iteration, inv_mass, step, min_micro = aux
+                active = st.draws_done < cap
+
+                def inner_cond(c2):
+                    s, n = c2
+                    more = jnp.any(active & ~s.leaf_done)
+                    if K > 0:
+                        more = more & (n - trips[0] < K)
+                    return more
+
+                def inner_body(c2):
+                    s, n = c2
+                    return (
+                        inner_trip(s, active, inv_mass, min_micro,
+                                   max_error),
+                        n + 1,
+                    )
+
+                st, n_inner = jax.lax.while_loop(
+                    inner_cond, inner_body, (st, trips[0])
+                )
+                trips = (n_inner, trips[1] + 1)
+                st, complete, sel_theta, sel_logp, out_depth, _, aux = (
+                    leaf_apply(st, active, step, inv_mass, min_micro, R,
+                               aux=(mass, mm_est, iteration))
+                )
+                slot = (st.draws_done - 1) % B  # valid where complete
+                lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
+                hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
+
+                def bank_body(c):
+                    j, bt, bl, bd = c
+                    mj = complete & (slot == j)
+                    row = jax.lax.dynamic_index_in_dim(
+                        bt, j, axis=0, keepdims=False
+                    )
+                    row = jnp.where(mj[:, None], sel_theta, row)
+                    bt = jax.lax.dynamic_update_index_in_dim(
+                        bt, row, j, axis=0
+                    )
+                    lrow = jax.lax.dynamic_index_in_dim(
+                        bl, j, axis=0, keepdims=False
+                    )
+                    bl = jax.lax.dynamic_update_index_in_dim(
+                        bl, jnp.where(mj, sel_logp, lrow), j, axis=0
+                    )
+                    drow = jax.lax.dynamic_index_in_dim(
+                        bd, j, axis=0, keepdims=False
+                    )
+                    bd = jax.lax.dynamic_update_index_in_dim(
+                        bd, jnp.where(mj, out_depth, drow), j, axis=0
+                    )
+                    return j + 1, bt, bl, bd
+
+                _, bt, bl, bd = jax.lax.while_loop(
+                    lambda c: c[0] <= hi, bank_body, (lo, bt, bl, bd)
+                )
+                return st, aux, bt, bl, bd, trips
+
+            carry = jax.lax.while_loop(
+                outer_cond, outer_body,
+                (state, aux, buf_theta, buf_logp, buf_depth, trips),
+            )
+            state, aux, buf_theta, buf_logp, buf_depth, trips = carry
+            sl = r % B
+            draw = jax.lax.dynamic_index_in_dim(
+                buf_theta, sl, axis=0, keepdims=False
+            )
+            lp = jax.lax.dynamic_index_in_dim(
+                buf_logp, sl, axis=0, keepdims=False
+            )
+            dep = jax.lax.dynamic_index_in_dim(
+                buf_depth, sl, axis=0, keepdims=False
+            )
+            return (
+                (state, aux, buf_theta, buf_logp, buf_depth, trips),
+                (draw, lp, dep),
+            )
+
+        trips0 = (jnp.int32(0), jnp.int32(0))
+        (state, aux, _, _, _, trips), (draws, logps, depths) = jax.lax.scan(
+            scan_step,
+            (state, aux, buf_theta, buf_logp, buf_depth, trips0),
+            jnp.arange(R),
+        )
+        return BatchedBlockResult(
+            draws=draws, logps=logps, depths=depths,
+            key=state.key,
+            n_grads_delta=state.n_grads - n_grads0,
+            fails_delta=jax.tree.map(
+                lambda a, b: a - b, state.fails, fails0
+            ),
+            n_inner_trips=trips[0],
+            n_outer_trips=trips[1],
+        ), state, aux
+
     # exposed for diagnostics/benchmarks (tests, cost-model probes)
     # and for the warmup runner (cached start point)
     sample_block.inner_trip = inner_trip
     sample_block.leaf_apply = leaf_apply
     sample_block.start_block_cached = start_block_cached
+    sample_block.adapt = sample_block_adapt if adapt_full else None
     return start_block, sample_block
 
 
 def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
-                              pallas_replay: bool = False):
-    """Batched-native ADAPTIVE WARMUP block.
+                              pallas_replay: bool = False,
+                              runahead: int = 4,
+                              tier2_every: int = 6):
+    """Batched-native ADAPTIVE WARMUP block — asynchronous per lane.
 
-    Warmup cannot run ahead — every draw's transition reads parameters
-    adapted from the previous draw (``AdaptiveWalnuts::operator()``,
-    adaptive_walnuts.hpp:234-251) — so the schedule is per-draw
-    synchronous; what carries over from the sampling scheduler is the
-    leaf-latched integration with amortised tier-2, the single-split
-    per-attempt RNG, Adam observing the coarsest attempt inside the
-    loop, and the cached selected-state gradient (the classic warmup
-    re-evaluates every draw's start point; here only the first draw of
-    each block pays it).
+    The warmup adaptation dependency ("every draw's transition reads
+    parameters adapted from the previous draw",
+    ``AdaptiveWalnuts::operator()``, adaptive_walnuts.hpp:234-251) is
+    strictly PER-LANE: each chain adapts from its own draw stream, just
+    like the reference's independent per-chain warmup threads
+    (adapt.hpp:79-146). A cross-lane per-draw barrier is therefore pure
+    scheduling — so this block reuses the sampling scheduler's run-ahead
+    machinery (``adapt_full=True``): a lane that completes a draw has
+    its mass / min-micro / Adam observations applied in that tier-2 pass
+    and restarts immediately with its own adapted parameters, while
+    slower lanes keep integrating. The schedule is EXACT vs the classic
+    per-draw-synchronous warmup: end keys and every integer output match
+    bitwise, and draws/adapted floats match to ~1e-13 over 36 draws
+    (not bitwise — the classic program FMA-contracts the Welford
+    observe where this one rounds per-op; see the ``adapt_full`` note in
+    :func:`make_batched_sample_block` and tests/test_batched.py). The
+    per-draw max-lane padding (13.4x measured on funnel x4096) relaxes
+    toward the ``runahead``-draw window max — the same relaxation
+    sampling gets.
+
+    Also carried over from the sampling scheduler: leaf-latched
+    integration with amortised tier-2 (``tier2_every``), the
+    single-split per-attempt RNG, Adam observing the coarsest attempt
+    inside the loop, and the cached selected-state gradient (the classic
+    warmup re-evaluates every draw's start point; here only the first
+    draw of each block pays it).
 
     Returns ``warmup_block(state: WarmupState, n) -> (state',
     (thetas, logps))`` operating on the chain-batched classic
     :class:`~walnuts_tpu.core.sampler.WarmupState` — a drop-in for
-    ``run_warmup``'s block runner, emitting bitwise-identical warmup
-    draws and adapted states (tests/test_batched.py).
+    ``run_warmup``'s block runner.
     """
-    from walnuts_tpu.core.adapt import (
-        adam_step_size,
-        mass_estimator_inv_mass,
-        mass_estimator_observe,
-        min_micro_estimate,
-        min_micro_observe,
-    )
     from walnuts_tpu.core.sampler import WarmupState
 
-    K = 6
     start_block, sample_block = make_batched_sample_block(
         logp_grad,
         sampling_cfg.max_trajectory_doublings,
         sampling_cfg.max_step_halvings,
-        runahead=1,
-        tier2_every=K,
+        runahead=runahead,
+        tier2_every=tier2_every,
         adapt_step_size=True,
         pallas_replay=pallas_replay,
+        adapt_full=True,
     )
-    inner_trip = sample_block.inner_trip
-    leaf_apply = sample_block.leaf_apply
+    block_adapt = sample_block.adapt
     max_error = sampling_cfg.max_hamiltonian_error
 
     def warmup_block(ws: WarmupState, n: int):
         dtype = ws.theta.dtype
-        me = jnp.asarray(max_error, dtype)
         # one fresh evaluation per BLOCK (counted); within the block the
-        # selected state's logp/grad ride the carry
+        # selected state's logp/grad ride the lane state
         logp0, grad0 = jax.vmap(logp_grad)(ws.theta)
-        carry0 = (ws._replace(n_grads=ws.n_grads + 1), logp0, grad0)
-
-        def draw_step(carry, _):
-            ws, logp, grad = carry
-            inv_mass = jax.vmap(mass_estimator_inv_mass)(ws.mass)
-            step = adam_step_size(ws.adam)
-            min_micro = jax.vmap(min_micro_estimate)(ws.min_micro)
-            st = sample_block.start_block_cached(
-                ws.key, ws.theta, logp, grad, step, inv_mass, min_micro,
-                ws.adam, ws.n_grads, ws.fails,
-            )
-
-            def outer_cond(c):
-                return jnp.any(c[0].draws_done < 1)
-
-            def outer_body(c):
-                st, base = c
-                active = st.draws_done < 1
-
-                def inner_cond(c2):
-                    s, n2 = c2
-                    # strict every-K cadence: deferring the pass until a
-                    # lane has latched (min_latched=1) measured ~1% SLOWER
-                    # on the sampling probe (the per-trip latch reduction
-                    # costs more than the ~2% empty passes it avoids)
-                    return jnp.any(active & ~s.leaf_done) & (n2 - base < K)
-
-                def inner_body(c2):
-                    s, n2 = c2
-                    return (
-                        inner_trip(s, active, inv_mass, min_micro, me),
-                        n2 + 1,
-                    )
-
-                st, n2 = jax.lax.while_loop(
-                    inner_cond, inner_body, (st, base)
-                )
-                st, *_ = leaf_apply(st, active, step, inv_mass, min_micro, 1)
-                return st, n2
-
-            st, _ = jax.lax.while_loop(outer_cond, outer_body,
-                                       (st, jnp.int32(0)))
-            # block_draws=1 suppressed the restart, so the completed
-            # orbit's selection is still in place
-            theta = st.acc_v[:, _THETA_SEL]
-            logp = st.acc_s[:, _LOGP_SEL]
-            grad = st.acc_grad_sel
-            mass = jax.vmap(mass_estimator_observe)(
-                ws.mass, theta, grad, ws.iteration
-            )
-            mm = jax.vmap(min_micro_observe)(
-                ws.min_micro, jnp.int32(1) << st.out_depth
-            )
-            ws = WarmupState(
-                key=st.key,
-                theta=theta,
-                adam=st.adam,
-                mass=mass,
-                min_micro=mm,
-                iteration=ws.iteration + 1,
-                n_grads=st.n_grads,
-                fails=st.fails,
-            )
-            return (ws, logp, grad), (theta, logp)
-
-        (ws, _, _), (thetas, logps) = jax.lax.scan(
-            draw_step, carry0, None, length=int(n)
+        inv_mass = jax.vmap(mass_estimator_inv_mass)(ws.mass)
+        step = adam_step_size(ws.adam)
+        min_micro = jax.vmap(min_micro_estimate)(ws.min_micro)
+        st = sample_block.start_block_cached(
+            ws.key, ws.theta, logp0, grad0, step, inv_mass, min_micro,
+            ws.adam, ws.n_grads + 1, ws.fails,
         )
-        return ws, (thetas, logps)
+        aux = (ws.mass, ws.min_micro, ws.iteration,
+               inv_mass, step, min_micro)
+        res, st, aux = block_adapt(
+            st, aux, jnp.asarray(max_error, dtype), int(n)
+        )
+        mass, mm_est, iteration, *_ = aux
+        ws = WarmupState(
+            key=res.key,
+            theta=res.draws[-1],
+            adam=st.adam,
+            mass=mass,
+            min_micro=mm_est,
+            iteration=iteration,
+            n_grads=st.n_grads,
+            fails=st.fails,
+        )
+        return ws, (res.draws, res.logps)
 
     return warmup_block
+
+
+def _where_lane(pred, new, old):
+    """Per-lane select over arrays with trailing broadcast dims ((C,),
+    (C, D), ...): reshape the (C,) predicate to match."""
+    return jnp.where(
+        pred.reshape(pred.shape + (1,) * (old.ndim - pred.ndim)), new, old
+    )
 
 
 def _key_where(pred, a, b):

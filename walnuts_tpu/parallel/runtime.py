@@ -137,6 +137,8 @@ def run_warmup(
     info: Optional[RunInfo] = None,
     batched: bool = False,
     pallas_replay: bool = False,
+    runahead: int = 4,
+    tier2_every: int = 6,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -168,7 +170,8 @@ def run_warmup(
         from walnuts_tpu.core.batched import make_batched_warmup_block
 
         warmup_block = make_batched_warmup_block(
-            logp_grad, sampling_cfg, pallas_replay=pallas_replay
+            logp_grad, sampling_cfg, pallas_replay=pallas_replay,
+            runahead=runahead, tier2_every=tier2_every,
         )
 
         @partial(jax.jit, static_argnums=1, donate_argnums=0)
