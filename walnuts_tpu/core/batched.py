@@ -715,8 +715,9 @@ def make_batched_sample_block(
             # gradient / reported depth, then derive the NEXT draw's
             # step / inv_mass / min_micro for the restarting lanes only.
             # Strictly per-lane math — lanes running ahead of each other
-            # cannot perturb any lane's chain, so the schedule stays
-            # bitwise-equal to the per-draw-synchronous warmup.
+            # cannot perturb any lane's chain, so the SCHEDULE stays
+            # exactly the per-draw-synchronous warmup's (keys/ints
+            # bitwise; float contraction caveat in the factory docstring).
             mass, mm_est, iteration = aux
             mass_obs = jax.vmap(mass_estimator_observe)(
                 mass, sel_theta, sel_grad, iteration
