@@ -392,20 +392,23 @@ class TestBatchedRuntime:
             np.asarray(ws_b.n_grads), np.asarray(ws_c.n_grads) - 33
         )
 
-        # within the async family the run-ahead depth is scheduling-only:
-        # any B must give BITWISE-identical draws and end state
-        ws_b1, db1, lb1, _ = run_warmup(
-            lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
-            runahead=1,
-        )
-        np.testing.assert_array_equal(np.asarray(db), np.asarray(db1))
-        np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb1))
-        np.testing.assert_array_equal(
-            jax.random.key_data(ws_b.key), jax.random.key_data(ws_b1.key)
-        )
-        for a, b in zip(jax.tree.leaves(ws_b.mass),
-                        jax.tree.leaves(ws_b1.mass)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # within the async family, run-ahead depth and cost-sorted
+        # groups are scheduling-only: any (B, G) must give
+        # BITWISE-identical draws and end state
+        for kw in (dict(runahead=1), dict(batched_groups=2)):
+            ws_b1, db1, lb1, _ = run_warmup(
+                lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
+                **kw,
+            )
+            np.testing.assert_array_equal(np.asarray(db), np.asarray(db1))
+            np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb1))
+            np.testing.assert_array_equal(
+                jax.random.key_data(ws_b.key),
+                jax.random.key_data(ws_b1.key),
+            )
+            for a, b in zip(jax.tree.leaves(ws_b.mass),
+                            jax.tree.leaves(ws_b1.mass)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_api_batched_end_to_end(self):
         """walnuts(batched=True, batched_groups=2) matches the classic

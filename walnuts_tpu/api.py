@@ -396,6 +396,8 @@ def walnuts(
                 integrator=integrator, bf16_ends=bf16_ends,
                 checkpoint=ckpt, start_it=start_warmup, info=warmup_info,
                 batched=batched,
+                batched_groups=batched_groups if batched else 1,
+                tier2_every=tier2_every,
             )
             if ckpt is not None and start_warmup and save_warmup:
                 prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)

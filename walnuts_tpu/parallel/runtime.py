@@ -139,6 +139,7 @@ def run_warmup(
     pallas_replay: bool = False,
     runahead: int = 4,
     tier2_every: int = 6,
+    batched_groups: int = 1,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -156,8 +157,24 @@ def run_warmup(
     (and the ``converged_warmup`` flag — a warmup that already converged
     must not keep adapting on resume) span the whole run, not just the
     resumed tail.
+
+    ``batched=True`` uses the ASYNCHRONOUS batched-native warmup
+    (:func:`walnuts_tpu.core.batched.make_batched_warmup_block`):
+    adaptation applied per lane at its own draw boundary, ``runahead``
+    draws of run-ahead, ``tier2_every``-amortised bookkeeping.
+    ``batched_groups > 1`` additionally sorts lanes into cost groups per
+    block (the sampling runtime's dynamic grouping; single-device only).
+    Both are scheduling-only: draws and adaptation are bitwise-invariant
+    to (runahead, batched_groups) on non-matmul models.
     """
     state = shard_chains(state, mesh)
+    if batched_groups > 1 and mesh is not None:
+        raise ValueError(
+            "batched_groups > 1 requires mesh=None (the per-block cost "
+            "sort gathers the full chain axis on the host)"
+        )
+    if batched_groups > 1 and not batched:
+        raise ValueError("batched_groups > 1 requires batched=True")
     if batched:
         if integrator is not None:
             raise ValueError(
@@ -178,6 +195,62 @@ def run_warmup(
         def run_block(s: WarmupState, n: int):
             s, (thetas, logps) = warmup_block(s, n)
             return s, (thetas, logps) if save_warmup else None
+
+        def run_block_grouped(s: WarmupState, n: int, cost):
+            """Dynamic cost-sorted warmup groups (the sampling runtime's
+            run_block_grouped, applied to the asynchronous warmup): sort
+            lanes by the previous block's realized gradient count, run
+            the groups sequentially, restore the caller's order. The
+            asynchronous warmup is per-lane exact, so grouping —
+            like any scheduling choice — leaves every lane's draws and
+            adaptation bitwise unchanged (matmul-model caveat as in
+            sampling: groups change the batched reduction shape)."""
+            from walnuts_tpu.core.adapt import (
+                adam_step_size,
+                min_micro_estimate,
+            )
+
+            C = int(s.iteration.shape[0])
+            G = batched_groups
+            if C % G:
+                raise ValueError(
+                    f"num_chains ({C}) must divide by batched_groups ({G})"
+                )
+            if cost is None:
+                # first block: pre-adaptation per-draw cost heuristic
+                mm = np.asarray(
+                    jax.vmap(min_micro_estimate)(s.min_micro), np.float64
+                )
+                st = np.asarray(adam_step_size(s.adam), np.float64)
+                cost = mm / st
+            n_grads_before = np.asarray(s.n_grads, np.float64)
+            order0 = np.argsort(cost, kind="stable")
+            inv = jnp.asarray(np.argsort(order0))
+            order = jnp.asarray(order0)
+            s_sorted = jax.tree.map(lambda x: x[order], s)
+            cg = C // G
+            outs = []
+            for g in range(G):
+                sub = jax.tree.map(
+                    lambda x: x[g * cg:(g + 1) * cg], s_sorted
+                )
+                outs.append(run_block(sub, n))
+            s_new = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[inv],
+                *[o[0] for o in outs]
+            )
+            if save_warmup:
+                thetas = jnp.concatenate(
+                    [o[1][0] for o in outs], axis=1)[:, inv]
+                logps = jnp.concatenate(
+                    [o[1][1] for o in outs], axis=1)[:, inv]
+                outs_c = (thetas, logps)
+            else:
+                outs_c = None
+            cost_next = (
+                np.asarray(s_new.n_grads, np.float64) - n_grads_before
+            )
+            return s_new, outs_c, cost_next
     else:
         warmup_step = make_warmup_step(
             logp_grad, sampling_cfg, integrator=integrator,
@@ -216,6 +289,7 @@ def run_warmup(
     # A KeyboardInterrupt (the reference's SIGINT path, interrupts.hpp:34-102)
     # lands between blocks: adaptation state accumulated so far is kept and
     # warmup ends early rather than tearing the run down.
+    wcost = None  # per-lane realized block cost for the group sort
     try:
         while it < warmup_cfg.max_iter and not converged:
             # uniform block lengths (at most two distinct scan lengths
@@ -226,7 +300,10 @@ def run_warmup(
             n = min(warmup_cfg.block_size, warmup_cfg.max_iter - it)
             if it < warmup_cfg.min_iter:
                 n = min(n, warmup_cfg.min_iter - it)
-            state, outs = run_block(state, n)
+            if batched and batched_groups > 1:
+                state, outs, wcost = run_block_grouped(state, n, wcost)
+            else:
+                state, outs = run_block(state, n)
             it += n
             if save_warmup:
                 draws_host.append(np.asarray(outs[0]))
