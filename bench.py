@@ -244,6 +244,40 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
 
 
 def main():
+    # The axon TPU plugin initialises at `import jax` and BLOCKS
+    # indefinitely while its worker is unreachable (observed: a >24 h
+    # worker outage hung every jax process at import). Probe device
+    # availability in a SUBPROCESS with a timeout first, so a dead
+    # worker yields one honest JSON error line instead of hanging the
+    # bench driver until its own timeout kills it. BENCH_PLATFORM (the
+    # TPU-less smoke override) and BENCH_SKIP_PROBE=1 skip the probe.
+    if not os.environ.get("BENCH_PLATFORM") and not int(
+        os.environ.get("BENCH_SKIP_PROBE", 0)
+    ):
+        import subprocess
+        import sys
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", 300)),
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({
+                "metric": "ess_per_sec_4096chains_geomean_funnel_logreg",
+                "value": None,
+                "unit": "ESS/s (median dim, sampling phase)",
+                "vs_baseline": None,
+                "error": "device backend unreachable (jax import/device "
+                         "probe failed or timed out — TPU worker outage?)",
+            }))
+            return
+
     import jax
 
     # BENCH_PLATFORM=cpu forces a backend for TPU-less smoke runs (the
