@@ -114,6 +114,35 @@ class TestWarmupEarlyStop:
         tight = run(1e-9, 1e-9)
         assert not tight.converged_warmup and tight.warmup_iters == 40
 
+    def test_converged_flag_batched_async(self):
+        """The asynchronous batched warmup honours the same block-level
+        early-stop contract, including an uneven remainder block
+        (min_iter not a multiple of block_size)."""
+        logp, dim = std_normal(2)
+        lg = make_logp_grad(logp)
+        scfg = SamplingConfig(min_iter=2, max_iter=2,
+                              max_trajectory_doublings=3,
+                              max_step_halvings=3)
+
+        def run(mass_tol, step_tol):
+            wcfg = WarmupConfig(min_iter=6, max_iter=40, block_size=4,
+                                mass_converge_tol=mass_tol,
+                                step_size_converge_tol=step_tol)
+            keys = jax.random.split(jax.random.key(5), 4)
+            theta = jax.random.normal(jax.random.key(6), (4, dim))
+            mass = jnp.ones((4, dim))
+            step = jnp.full((4,), 0.5)
+            ws = jax.vmap(
+                lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+            )(keys, theta, mass, step)
+            _, _, _, info = run_warmup(lg, ws, wcfg, scfg, batched=True)
+            return info
+
+        loose = run(1e6, 1e6)
+        assert loose.converged_warmup and loose.warmup_iters == 6
+        tight = run(1e-9, 1e-9)
+        assert not tight.converged_warmup and tight.warmup_iters == 40
+
 
 class TestChainGroups:
     def test_grouped_sampling_matches_contracts_and_order(self):
