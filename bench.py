@@ -84,9 +84,15 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     unroll = int(os.environ.get("BENCH_UNROLL", 1))
     groups_env = int(os.environ.get("BENCH_GROUPS", 1))
     batched = bool(int(os.environ.get("BENCH_BATCHED", 1))) and groups_env == 1
+    # warmup scheduler knobs (the batched warmup is asynchronous per lane;
+    # runahead/groups are scheduling-only — BENCH_WARMUP_B/_GROUPS
+    # override; defaults pending the TPU warmup A/B, /tmp/ab_warmup.py)
     wstate, _, _, info = run_warmup(
         logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16,
         unroll=unroll, batched=batched,
+        runahead=int(os.environ.get("BENCH_WARMUP_B", 4)),
+        batched_groups=int(os.environ.get("BENCH_WARMUP_GROUPS", 1))
+        if batched else 1,
     )
     jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0
