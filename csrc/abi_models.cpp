@@ -231,8 +231,142 @@ struct Model {
 };
 #define ABI_HAS_UNCONSTRAIN 1
 
+#elif defined(ABI_MODEL_CONSTRAINED)
+// Dimension-changing constrained parameterizations: `simplex[4] p;
+// cholesky_factor_corr[3] L;` with Stan math's EXACT transforms
+// (simplex_constrain / cholesky_corr_constrain and their inverses), the
+// parameterizations the reference exercises through real compiled Stan
+// models (load_stan.hpp:101-228). Unconstrained dim 6 != constrained
+// dim 13 (bs_param_num vs bs_param_unc_num diverge), so this model
+// drives the full dim-changing constrain/unconstrain path the vector
+// zoo cannot. The density is standard normal on the UNCONSTRAINED
+// coordinates (a proper posterior; transform fidelity, not density
+// parity, is what this model tests).
+constexpr int kSimplexK = 4;   // simplex size (K-1 = 3 unconstrained)
+constexpr int kCorrK = 3;      // cholesky_factor_corr size (3 unconstrained)
+constexpr int kUncDim = (kSimplexK - 1) + kCorrK * (kCorrK - 1) / 2;  // 6
+constexpr int kConDim = kSimplexK + kCorrK * kCorrK;                  // 13
+struct Model {
+  std::string names;
+  Model(const char*) {
+    for (int i = 1; i <= kSimplexK; ++i)
+      names += (i > 1 ? ",p." : "p.") + std::to_string(i);
+    for (int c = 1; c <= kCorrK; ++c)       // column-major dotted names
+      for (int r = 1; r <= kCorrK; ++r)
+        names += ",L." + std::to_string(r) + "." + std::to_string(c);
+  }
+  int dim() const { return kConDim; }
+  int unc_dim() const { return kUncDim; }
+  double logp_grad(const double* q, double* g) const {
+    double lp = 0.0;
+    for (int d = 0; d < kUncDim; ++d) {
+      g[d] = -q[d];
+      lp -= 0.5 * q[d] * q[d];
+    }
+    return lp;
+  }
+  // Stan math simplex_constrain: stick-breaking with the
+  // inv_logit(y_k - log(N - k)) centering (N = K-1, k 0-based).
+  static void simplex_constrain(const double* y, double* x) {
+    const int n = kSimplexK - 1;
+    double stick = 1.0;
+    for (int k = 0; k < n; ++k) {
+      const double z = 1.0 / (1.0 + std::exp(-(y[k] - std::log(double(n - k)))));
+      x[k] = stick * z;
+      stick -= x[k];
+    }
+    x[n] = stick;
+  }
+  static int simplex_free(const double* x, double* y) {
+    const int n = kSimplexK - 1;
+    double sum = 0.0;
+    for (int k = 0; k < kSimplexK; ++k) {
+      if (!(x[k] > 0.0)) return 1;
+      sum += x[k];
+    }
+    if (std::fabs(sum - 1.0) > 1e-8) return 1;
+    double stick = 1.0;
+    for (int k = 0; k < n; ++k) {
+      const double z = x[k] / stick;
+      y[k] = std::log(z / (1.0 - z)) + std::log(double(n - k));
+      stick -= x[k];
+    }
+    return 0;
+  }
+  // Stan math cholesky_corr_constrain: canonical partial correlations
+  // z = tanh(y) filled row-wise below the diagonal, rows normalised.
+  static void chol_constrain(const double* y, double* L /*row-major KxK*/) {
+    for (int i = 0; i < kCorrK * kCorrK; ++i) L[i] = 0.0;
+    L[0] = 1.0;
+    int k = 0;
+    for (int i = 1; i < kCorrK; ++i) {
+      L[i * kCorrK + 0] = std::tanh(y[k++]);
+      double sum_sqs = L[i * kCorrK] * L[i * kCorrK];
+      for (int j = 1; j < i; ++j) {
+        L[i * kCorrK + j] = std::tanh(y[k++]) * std::sqrt(1.0 - sum_sqs);
+        sum_sqs += L[i * kCorrK + j] * L[i * kCorrK + j];
+      }
+      L[i * kCorrK + i] = std::sqrt(1.0 - sum_sqs);
+    }
+  }
+  static int chol_free(const double* L /*row-major*/, double* y) {
+    if (std::fabs(L[0] - 1.0) > 1e-8) return 1;
+    for (int i = 0; i < kCorrK; ++i)
+      for (int j = i + 1; j < kCorrK; ++j)
+        if (std::fabs(L[i * kCorrK + j]) > 1e-8) return 1;  // not lower-tri
+    int k = 0;
+    for (int i = 1; i < kCorrK; ++i) {
+      if (!(L[i * kCorrK + i] > 0.0)) return 1;
+      double sum_sqs = 0.0;
+      for (int j = 0; j < i; ++j) {
+        const double denom = std::sqrt(1.0 - sum_sqs);
+        const double z = L[i * kCorrK + j] / denom;
+        if (!(std::fabs(z) < 1.0)) return 1;
+        y[k++] = std::atanh(z);
+        sum_sqs += L[i * kCorrK + j] * L[i * kCorrK + j];
+      }
+      if (std::fabs(sum_sqs + L[i * kCorrK + i] * L[i * kCorrK + i] - 1.0) > 1e-8)
+        return 1;  // row not unit-norm
+    }
+    return 0;
+  }
+  void constrain(const double* unc, double* con) const {
+    simplex_constrain(unc, con);
+    double L[kCorrK * kCorrK];
+    chol_constrain(unc + (kSimplexK - 1), L);
+    // flat constrained row is COLUMN-major (BridgeStan name order)
+    for (int c = 0; c < kCorrK; ++c)
+      for (int r = 0; r < kCorrK; ++r)
+        con[kSimplexK + c * kCorrK + r] = L[r * kCorrK + c];
+  }
+  static const char* read_doubles(const char* p, double* out, int n) {
+    int i = 0;
+    while (i < n && *p) {
+      while (*p && !((*p >= '0' && *p <= '9') || *p == '-')) ++p;
+      if (!*p) break;
+      char* end = nullptr;
+      out[i++] = std::strtod(p, &end);
+      p = end;
+    }
+    return i == n ? p : nullptr;
+  }
+  int unconstrain_json(const char* json, double* unc) const {
+    const char* pp = std::strstr(json, "\"p\"");
+    const char* pl = std::strstr(json, "\"L\"");
+    if (!pp || !pl) return 1;
+    double p[kSimplexK];
+    if (!read_doubles(pp + 3, p, kSimplexK)) return 1;
+    if (simplex_free(p, unc)) return 1;
+    double L[kCorrK * kCorrK];  // Stan JSON matrices are ROW-major
+    if (!read_doubles(pl + 3, L, kCorrK * kCorrK)) return 1;
+    return chol_free(L, unc + (kSimplexK - 1));
+  }
+};
+#define ABI_HAS_UNCONSTRAIN 1
+#define ABI_HAS_UNC_DIM 1
+
 #else
-#error "define one of ABI_MODEL_{ILL_GAUSS,EIGHT_SCHOOLS,FUNNEL,LOGREG,MATRIX}"
+#error "define one of ABI_MODEL_{ILL_GAUSS,EIGHT_SCHOOLS,FUNNEL,LOGREG,MATRIX,CONSTRAINED}"
 #endif
 
 }  // namespace
@@ -266,7 +400,11 @@ int bs_param_num(const void* m, bool /*tp*/, bool /*gq*/) {
 }
 
 int bs_param_unc_num(const void* m) {
+#if defined(ABI_HAS_UNC_DIM)  // dim-changing transforms: con != unc
+  return static_cast<const Model*>(m)->unc_dim();
+#else
   return static_cast<const Model*>(m)->dim();
+#endif
 }
 
 int bs_log_density_gradient(const void* m, bool /*propto*/, bool /*jacobian*/,

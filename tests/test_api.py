@@ -82,6 +82,11 @@ class TestValidation:
         with pytest.raises(ValueError):
             sample(step_accept_rate_target=1.5)
 
+    def test_nonpositive_num_chains(self):
+        for n in (0, -2):
+            with pytest.raises(ValueError, match="num_chains"):
+                sample(num_chains=n)
+
 
 class TestDeterminism:
     """Identical seeds with fixed iteration counts give bitwise-equal

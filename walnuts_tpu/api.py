@@ -191,6 +191,10 @@ def walnuts(
         # batched-native path emits bitwise-identical draws, so this is a
         # pure scheduling default (docs/BENCHMARKS.md round 3)
         batched = integrator is None and not flatten and chain_groups == 1
+    if num_chains < 1:
+        raise ValueError(
+            f"num_chains must be positive; found num_chains = {num_chains}"
+        )
     if num_params is None:
         if inits is None:
             raise ValueError("must specify at least one of num_params or inits")
