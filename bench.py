@@ -93,6 +93,8 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         runahead=int(os.environ.get("BENCH_WARMUP_B", 4)),
         batched_groups=int(os.environ.get("BENCH_WARMUP_GROUPS", 1))
         if batched else 1,
+        speculate=bool(int(os.environ.get("BENCH_WARMUP_SPEC", 0)))
+        and batched,
     )
     jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0
@@ -129,6 +131,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         tier2_every=int(os.environ.get("BENCH_T2K", default_t2k)),
         pallas_replay=bool(int(os.environ.get("BENCH_PREPLAY", 0))),
         fresh_cur=bool(int(os.environ.get("BENCH_FRESHCUR", 0))),
+        speculate=bool(int(os.environ.get("BENCH_SPEC", 0))) and batched,
         unroll=unroll,
     )
     jax.block_until_ready((sstate, draws))

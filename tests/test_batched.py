@@ -77,7 +77,8 @@ def warmed():
 
 
 def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
-                defer_splits=True, pallas_replay=False, fresh_cur=False):
+                defer_splits=True, pallas_replay=False, fresh_cur=False,
+                speculate=False):
     lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
     ss = jax.tree.map(jnp.array, warmed["ss"])
     start_block, sample_block = make_batched_sample_block(
@@ -90,6 +91,7 @@ def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
         defer_splits=defer_splits,
         pallas_replay=pallas_replay,
         fresh_cur=fresh_cur,
+        speculate=speculate,
     )
 
     @jax.jit
@@ -126,6 +128,54 @@ class TestBatchedBitwise:
         np.testing.assert_array_equal(
             key_data, np.asarray(jax.random.key_data(res.key))
         )
+
+    @pytest.mark.parametrize(
+        "B,K,T",
+        [(8, 6, 1), (4, 12, 1), (1, 0, 1), (8, 0, 1), (16, 2, 1),
+         (8, 4, 5)],
+    )
+    def test_speculate_bitwise_equal_classic(self, warmed, B, K, T):
+        """Speculative leaf continuation (a lane keeps integrating the
+        next leaf while its accepted leaf awaits tier-2 resolution; a
+        pass resolves up to two leaves per lane, with exact rollback of
+        splits/Adam/fails/grads on a sub-U-turn mispredict) is pure
+        scheduling: draws, log densities, depths, gradient counts, fail
+        counters, and end-of-block keys all stay bitwise equal to the
+        classic sampler."""
+        th, lp, dep, key_data, _ = warmed["classic"]
+        res = run_batched(warmed, B, K, min_latched=T, speculate=True)
+        np.testing.assert_array_equal(th, np.asarray(res.draws))
+        np.testing.assert_array_equal(lp, np.asarray(res.logps))
+        np.testing.assert_array_equal(dep, np.asarray(res.depths))
+        np.testing.assert_array_equal(
+            key_data, np.asarray(jax.random.key_data(res.key))
+        )
+
+    def test_speculate_reduces_passes(self, warmed):
+        """The two-leaf tier-2 resolution must retire leaves faster than
+        one pass per max-lane leaf: fewer outer passes than the
+        non-speculative schedule at the same (B, K)."""
+        base = run_batched(warmed, 8, 6)
+        spec = run_batched(warmed, 8, 6, speculate=True)
+        assert int(spec.n_outer_trips) < int(base.n_outer_trips)
+        np.testing.assert_array_equal(
+            np.asarray(base.n_grads_delta), np.asarray(spec.n_grads_delta)
+        )
+
+    def test_speculate_option_validation(self, warmed):
+        lg, scfg = warmed["lg"], warmed["scfg"]
+        with pytest.raises(ValueError, match="defer_splits"):
+            make_batched_sample_block(
+                lg, scfg.max_trajectory_doublings,
+                scfg.max_step_halvings, speculate=True,
+                defer_splits=False,
+            )
+        with pytest.raises(ValueError, match="pallas_replay"):
+            make_batched_sample_block(
+                lg, scfg.max_trajectory_doublings,
+                scfg.max_step_halvings, speculate=True,
+                pallas_replay=True,
+            )
 
     @pytest.mark.parametrize("B,K", [(8, 6), (4, 12)])
     def test_pallas_replay_bitwise_equal_classic(self, warmed, B, K):
@@ -256,6 +306,34 @@ class TestBatchedDeepOrbits:
         np.testing.assert_array_equal(np.asarray(lp), np.asarray(res.logps))
         np.testing.assert_array_equal(np.asarray(dep), np.asarray(res.depths))
 
+        # speculation under deep trees: long subtrees give lanes many
+        # chances to speculate and the cascade many multi-level merges
+        # (= sub-U-turn mispredict flushes); still bitwise
+        start_block_s, sample_block_s = make_batched_sample_block(
+            lg, scfg.max_trajectory_doublings, scfg.max_step_halvings,
+            runahead=4, tier2_every=6, speculate=True,
+        )
+        ss3 = jax.tree.map(jnp.array, warmed["ss"])
+
+        @jax.jit
+        def blk_s(s):
+            st = start_block_s(
+                s.key, s.theta, s.n_grads, s.fails,
+                deep.step_size, deep.inv_mass, deep.min_micro,
+            )
+            return sample_block_s(
+                st, deep.step_size, deep.inv_mass, deep.min_micro,
+                jnp.asarray(scfg.max_hamiltonian_error), 8,
+            )
+
+        res_s = blk_s(ss3)
+        np.testing.assert_array_equal(np.asarray(th),
+                                      np.asarray(res_s.draws))
+        np.testing.assert_array_equal(np.asarray(dep),
+                                      np.asarray(res_s.depths))
+        np.testing.assert_array_equal(np.asarray(res.n_grads_delta),
+                                      np.asarray(res_s.n_grads_delta))
+
 
 class TestBatchedRuntime:
     """run_sampling(batched=...) must reproduce the classic runtime's
@@ -286,6 +364,19 @@ class TestBatchedRuntime:
         state, draws, logps, info = run_sampling(
             warmed["lg"], ss, warmed["params"], scfg,
             batched=True, batched_groups=groups, runahead=4, tier2_every=3,
+        )
+        np.testing.assert_array_equal(draws_c, np.asarray(draws))
+        np.testing.assert_array_equal(logps_c, np.asarray(logps))
+
+    def test_speculate_matches_classic_across_blocks(self, warmed,
+                                                     classic_run):
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg, draws_c, logps_c = classic_run
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        _, draws, logps, _ = run_sampling(
+            warmed["lg"], ss, warmed["params"], scfg,
+            batched=True, runahead=4, tier2_every=3, speculate=True,
         )
         np.testing.assert_array_equal(draws_c, np.asarray(draws))
         np.testing.assert_array_equal(logps_c, np.asarray(logps))
@@ -393,8 +484,37 @@ class TestBatchedRuntime:
         )
 
         # within the async family, run-ahead depth and cost-sorted
-        # groups are scheduling-only: any (B, G) must give
-        # BITWISE-identical draws and end state
+        # groups are scheduling-only and BITWISE; speculative leaf
+        # continuation is schedule-exact too but its pass program fuses
+        # the adaptation arithmetic differently under jit (eager-exact,
+        # verified; ~1 ulp/pass jitted — the fresh_cur correctness
+        # class), so it gets keys/ints bitwise + floats at tolerance
+        ws_s, ds, ls, _ = run_warmup(
+            lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
+            speculate=True,
+        )
+        np.testing.assert_array_equal(
+            jax.random.key_data(ws_b.key), jax.random.key_data(ws_s.key)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ws_b.iteration), np.asarray(ws_s.iteration)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ws_b.n_grads), np.asarray(ws_s.n_grads)
+        )
+        np.testing.assert_allclose(db, ds, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(lb, ls, rtol=1e-9, atol=1e-9)
+        ps = jax.vmap(freeze_params)(ws_s)
+        np.testing.assert_allclose(
+            np.asarray(pb.step_size), np.asarray(ps.step_size), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(pb.inv_mass), np.asarray(ps.inv_mass), rtol=1e-9
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pb.min_micro), np.asarray(ps.min_micro)
+        )
+
         for kw in (dict(runahead=1), dict(batched_groups=2)):
             ws_b1, db1, lb1, _ = run_warmup(
                 lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,

@@ -89,6 +89,7 @@ def walnuts(
     tier2_every: int = 6,
     min_latched: int = 0,
     defer_splits: bool = True,
+    speculate: bool = False,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     checkpoint_keep_last_n: Optional[int] = None,
@@ -144,6 +145,17 @@ def walnuts(
       (no custom ``integrator``, no ``flatten``/``chain_groups``); pass
       ``False`` to force the classic per-draw scheduler. Applies to
       warmup and sampling; mesh-compatible at ``batched_groups=1``.
+    - ``speculate``: speculative leaf continuation for the batched
+      scheduler — a lane whose leaf ends accepted mid-subtree keeps
+      integrating the next leaf instead of idling until the tier-2
+      pass, and a pass resolves up to two leaves per lane (measured
+      pass count -21% on a latch-bound CPU funnel batch at K=12; see
+      ``core.batched.make_batched_sample_block`` and
+      docs/ROADMAP.md item 4). Sampling draws stay
+      bitwise identical; warmup adaptation is schedule-exact but its
+      floats drift ~1 ulp/pass under jit (eager-exact — the same
+      compiler-contraction class as the async warmup itself). Off by
+      default pending the TPU A/B.
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
@@ -402,6 +414,7 @@ def walnuts(
                 batched=batched,
                 batched_groups=batched_groups if batched else 1,
                 tier2_every=tier2_every,
+                speculate=speculate and batched,
             )
             if ckpt is not None and start_warmup and save_warmup:
                 prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)
@@ -433,6 +446,7 @@ def walnuts(
                 batched=batched, batched_groups=batched_groups,
                 runahead=runahead, tier2_every=tier2_every,
                 min_latched=min_latched, defer_splits=defer_splits,
+                speculate=speculate and batched,
                 checkpoint=ckpt, start_it=start_sampling,
                 thin=thin, keep_dims=keep_dims,
             )

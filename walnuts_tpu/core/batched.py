@@ -155,6 +155,18 @@ class LaneState(NamedTuple):
     n_ends: Array          # int32, attempt ends since the last tier-2 pass
     leaf_end_at: Array     # int32, 1-based end index of the leaf-completing
                            # attempt (0 = none); its subkey becomes ku
+    # --- speculative-continuation latch (speculate mode; frozen zeros
+    # otherwise). When ``spec`` is set the lane's machine is integrating
+    # the NEXT leaf while the previous (accepted, pending) leaf awaits
+    # tier-2 resolution; the pending leaf's endpoint lives in ms/ms_joint
+    # (it IS the speculative leaf's start), plus these scalars ---
+    spec: Array            # bool: pending leaf latched, machine speculating
+    l1_logp: Array         # pending leaf endpoint's position log density
+    l1_end_at: Array       # int32, pending leaf's split-counter mark
+    l1_n_grads: Array      # int32, n_grads at the pending leaf's end
+                           # (rollback target on a sub-U-turn flush)
+    l1_adam: AdamState     # Adam at the pending leaf's end (rollback)
+    l1_fails: FailStats    # fail counters at the pending leaf's end
     # --- step-size adaptation (warmup only; a frozen dummy when
     # sampling — a handful of (C,) scalars, negligible carry cost) ---
     adam: AdamState
@@ -193,6 +205,7 @@ def make_batched_sample_block(
     pallas_replay: bool = False,
     fresh_cur: bool = False,
     adapt_full: bool = False,
+    speculate: bool = False,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -276,7 +289,38 @@ def make_batched_sample_block(
     (BatchedBlockResult, final LaneState, aux')`` where ``aux = (mass,
     mm_est, iteration, inv_mass, step, min_micro)`` carries each lane's
     estimator states and CURRENT-draw transition parameters.
+
+    ``speculate`` removes the latched-lane idle wait: a lane whose leaf
+    ends ACCEPTED with more leaves left in its subtree does not latch and
+    idle until the next tier-2 pass — it continues integrating the next
+    leaf immediately (the next leaf's start is this leaf's forward
+    endpoint, same direction, fresh halving machine; no RNG is consumed
+    until tier 2 because splits are deferred counters). The pending
+    leaf's latch costs NO extra row state: the speculative leaf's start
+    IS the pending leaf's endpoint, so ``ms``/``ms_joint`` double as the
+    latch (plus a handful of per-lane scalars for the endpoint logp, the
+    split-counter mark, and rollback copies of Adam/fail/grad counters).
+    The only mispredict is a sub-U-turn against the merge stack (a
+    pending ACCEPTED leaf can neither fail nor complete the subtree), in
+    which case tier 2 rolls the lane back exactly: the speculative
+    attempts' key splits are discarded (the replay truncates at the
+    pending leaf's mark), the counters restore, and the normal restart
+    path overwrites the machine — the per-lane chain, key stream, and
+    counters stay BITWISE equal to the classic path
+    (tests/test_batched.py). Requires ``defer_splits``; incompatible
+    with ``pallas_replay`` (the fused replay kernel has no dual-capture
+    slot). Off by default pending the TPU A/B.
     """
+    if speculate and not defer_splits:
+        raise ValueError("speculate=True requires defer_splits=True "
+                         "(the rollback truncates the deferred-split "
+                         "replay; eager per-trip splits cannot be "
+                         "un-consumed)")
+    if speculate and pallas_replay:
+        raise ValueError("speculate=True is incompatible with "
+                         "pallas_replay=True (the fused replay kernel "
+                         "captures one subkey per lane; speculation "
+                         "needs the pending leaf's too)")
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
     K = int(tier2_every)
@@ -359,6 +403,12 @@ def make_batched_sample_block(
             ku=jax.random.key_data(knew),
             n_ends=jnp.zeros((C,), jnp.int32),
             leaf_end_at=jnp.zeros((C,), jnp.int32),
+            spec=jnp.zeros((C,), bool),
+            l1_logp=logp0,
+            l1_end_at=jnp.zeros((C,), jnp.int32),
+            l1_n_grads=n_grads,
+            l1_adam=adam,
+            l1_fails=fails,
             adam=adam,
             n_grads=n_grads,
             fails=fails,
@@ -383,7 +433,8 @@ def make_batched_sample_block(
     # integration trip: one batched gradient + the attempt machine
     # (halvings / reversibility levels) as masked scalar transitions.
     # ------------------------------------------------------------------
-    def inner_trip(s: LaneState, active, inv_mass, min_micro, max_error):
+    def inner_trip(s: LaneState, active, step, inv_mass, min_micro,
+                   max_error):
         dtype = s.ms_joint.dtype
         run = active & ~s.leaf_done
 
@@ -465,16 +516,26 @@ def make_batched_sample_block(
         fwd_joint = jnp.where(set_fwd, joint_n, s.fwd_joint)
 
         leaf_end = leaf_ok_now | leaf_fail_now
+        if speculate:
+            # an ACCEPTED leaf with more leaves left in its subtree does
+            # not latch-and-idle: the machine continues into the next
+            # leaf immediately (entry writes below); only one pending
+            # leaf at a time (~s.spec), the rest latch normally
+            enter_spec = (leaf_end & leaf_ok_now & ~s.spec
+                          & (s.leaf_idx + 2 <= s.n_leaves))
+            latch = leaf_end & ~enter_spec
+        else:
+            latch = leaf_end
         if defer_splits:
             ku = s.ku
-            leaf_end_at = jnp.where(leaf_end, n_ends, s.leaf_end_at)
+            leaf_end_at = jnp.where(latch, n_ends, s.leaf_end_at)
         else:
             n_ends, leaf_end_at = s.n_ends, s.leaf_end_at
-            extra = s.ku.ndim - leaf_end.ndim
-            ku = jnp.where(leaf_end.reshape(leaf_end.shape + (1,) * extra),
+            extra = s.ku.ndim - latch.ndim
+            ku = jnp.where(latch.reshape(latch.shape + (1,) * extra),
                            ku_new, s.ku)
-        leaf_done = s.leaf_done | leaf_end
-        leaf_ok = jnp.where(leaf_end, leaf_ok_now, s.leaf_ok)
+        leaf_done = s.leaf_done | latch
+        leaf_ok = jnp.where(latch, leaf_ok_now, s.leaf_ok)
 
         fails = FailStats(
             n_halve_fail=s.fails.n_halve_fail + halve_exh.astype(jnp.int32),
@@ -499,6 +560,50 @@ def make_batched_sample_block(
         cur = jnp.where(to_rev[:, None, None], rev_cur,
                         jnp.where(restart[:, None, None], s.ms, cur))
 
+        if speculate:
+            # speculative-leaf entry: the pending (accepted) leaf's
+            # endpoint becomes the next leaf's start — ms/ms_joint double
+            # as the pending-leaf latch — and the halving machine resets
+            # for the fresh leaf (cursor := endpoint, written into the
+            # carry exactly like the tier-2 continue path writes cur, so
+            # the leapfrog input stays a materialised buffer and draws
+            # stay bitwise); counters latch for the flush rollback.
+            es2 = enter_spec[:, None, None]
+            cur = jnp.where(es2, fwd, cur)
+            ms = jnp.where(es2, fwd, s.ms)
+            ms_joint = jnp.where(enter_spec, fwd_joint, s.ms_joint)
+            l1_logp = jnp.where(enter_spec, fwd_logp_pos, s.l1_logp)
+            l1_end_at = jnp.where(enter_spec, n_ends, s.l1_end_at)
+            l1_n_grads = jnp.where(enter_spec, n_grads, s.l1_n_grads)
+            l1_adam = jax.tree.map(
+                lambda a, b: jnp.where(enter_spec, a, b), adam, s.l1_adam
+            )
+            l1_fails = jax.tree.map(
+                lambda a, b: jnp.where(enter_spec, a, b), fails, s.l1_fails
+            )
+            spec = s.spec | enter_spec
+            halvings = jnp.where(enter_spec, jnp.int32(0), halvings)
+            steps_total = jnp.where(enter_spec,
+                                    jnp.asarray(min_micro, jnp.int32),
+                                    steps_total)
+            steps_done = jnp.where(enter_spec, jnp.int32(0), steps_done)
+            phase = jnp.where(enter_spec, jnp.int32(_PH_FWD), phase)
+            dt = jnp.where(enter_spec, jnp.where(s.forward, step, -step),
+                           dt)
+            fresh = s.fresh & ~run if fresh_cur else s.fresh
+            return s._replace(
+                key=key, cur=cur, lp_cur=lp_cur, fwd=fwd,
+                fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
+                halvings=halvings, dt=dt, steps_done=steps_done,
+                steps_total=steps_total, phase=phase,
+                leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku,
+                n_ends=n_ends, leaf_end_at=leaf_end_at, adam=adam,
+                n_grads=n_grads, fails=fails, fresh=fresh,
+                ms=ms, ms_joint=ms_joint, spec=spec, l1_logp=l1_logp,
+                l1_end_at=l1_end_at, l1_n_grads=l1_n_grads,
+                l1_adam=l1_adam, l1_fails=l1_fails,
+            )
+
         return s._replace(
             key=key, cur=cur, lp_cur=lp_cur, fwd=fwd,
             fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
@@ -519,69 +624,31 @@ def make_batched_sample_block(
     # plus an overlay: this pass runs every K trips and its row traffic
     # is the measured cost ceiling of the whole scheduler.
     # ------------------------------------------------------------------
-    def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
-                   block_draws, aux=None):
+    def _resolve_pending(s: LaneState, active, step, inv_mass, min_micro,
+                         block_draws, aux=None):
         dtype = s.ms_joint.dtype
-        if defer_splits and pallas_replay:
-            # one Pallas launch for the whole replay chain (ops/prng.py);
-            # bit-identical to the while-loop below
-            from walnuts_tpu.ops.prng import replay_split_chain
-
-            impl0 = jax.random.key_impl(s.key)
-            kd, ku_r = replay_split_chain(
-                jax.random.key_data(s.key).astype(jnp.uint32),
-                s.ku.astype(jnp.uint32), s.n_ends, s.leaf_end_at,
-                interpret=jax.default_backend() != "tpu",
+        # --- pending-leaf resolution values. With speculate, the leaf
+        # awaiting resolution may be latched in ms/ms_joint + l1_*
+        # scalars (its endpoint doubles as the running speculative
+        # leaf's start) rather than in the machine latches. ---
+        if speculate:
+            spec = s.spec
+            pend = active & (s.leaf_done | spec)
+            # a speculated-over pending leaf is accepted by construction
+            ok1 = spec | s.leaf_ok
+            fwd = jnp.where(spec[:, None, None], s.ms, s.fwd)
+            fwd_joint = jnp.where(spec, s.ms_joint, s.fwd_joint)
+            fwd_logp_pos = jnp.where(spec, s.l1_logp, s.fwd_logp_pos)
+            end1 = jnp.where(spec, s.l1_end_at, s.leaf_end_at)
+        else:
+            pend = active & s.leaf_done
+            ok1 = s.leaf_ok
+            fwd, fwd_joint, fwd_logp_pos = (
+                s.fwd, s.fwd_joint, s.fwd_logp_pos
             )
-            s = s._replace(
-                key=jax.random.wrap_key_data(kd, impl=impl0),
-                ku=ku_r.astype(s.ku.dtype),
-                n_ends=jnp.zeros_like(s.n_ends),
-                leaf_end_at=jnp.zeros_like(s.leaf_end_at),
-            )
-        elif defer_splits:
-            # replay the window's deferred key splits: each lane consumed
-            # n_ends splits (sequential — split j feeds split j+1), and
-            # the leaf-completing attempt's subkey becomes ku. The loop
-            # runs max-lane ends times: one batched threefry each,
-            # instead of one EVERY trip in the integration loop.
-            n_replay = jnp.max(s.n_ends)
-
-            def replay_body(c):
-                j, key, ku = c
-                ks = vsplit(key)
-                adv = j < s.n_ends
-                key = _key_where(adv, ks[:, 0], key)
-                hit = adv & (s.leaf_end_at == j + 1)
-                extra = ku.ndim - hit.ndim
-                ku = jnp.where(
-                    hit.reshape(hit.shape + (1,) * extra),
-                    jax.random.key_data(ks[:, 1]), ku,
-                )
-                return j + 1, key, ku
-
-            _, key_r, ku_r = jax.lax.while_loop(
-                lambda c: c[0] < n_replay, replay_body,
-                (jnp.int32(0), s.key, s.ku),
-            )
-            s = s._replace(
-                key=key_r, ku=ku_r,
-                n_ends=jnp.zeros_like(s.n_ends),
-                leaf_end_at=jnp.zeros_like(s.leaf_end_at),
-            )
-        leaf_ok = active & s.leaf_done & s.leaf_ok
-        leaf_fail = active & s.leaf_done & ~s.leaf_ok
-        fwd, fwd_joint, fwd_logp_pos = s.fwd, s.fwd_joint, s.fwd_logp_pos
-
-        # the three leaf uniforms, derived from the latched subkey (one
-        # batched threefry per pass; identical values to the classic
-        # body's per-attempt uniforms at the leaf-completing attempt)
-        impl = jax.random.key_impl(s.key)
-        unifs = jax.vmap(
-            lambda kd: jax.random.uniform(
-                jax.random.wrap_key_data(kd, impl=impl), (3,), dtype=dtype
-            )
-        )(s.ku)
+            end1 = s.leaf_end_at
+        leaf_ok = pend & ok1
+        leaf_fail = pend & ~ok1
 
         leaf_th, leaf_rho = fwd[:, 0], fwd[:, 1]
         if bf16_ends:
@@ -631,6 +698,117 @@ def make_batched_sample_block(
         )
         sub_uturn = leaf_ok & ~ok
         leaf_ok = leaf_ok & ok
+
+        # --- deferred-key-split replay. Runs AFTER the cascade (pure
+        # geometry, no RNG) because a speculation flush — a sub-U-turn
+        # under a pending leaf — must discard the speculative attempts'
+        # splits by truncating the replay at the pending leaf's mark:
+        # the classic chain restarts there and consumes its restart
+        # split from exactly that key state. ---
+        if speculate:
+            flush = spec & sub_uturn
+            keep2 = spec & ~flush
+            n_ends_eff = jnp.where(flush, end1, s.n_ends)
+        else:
+            n_ends_eff = s.n_ends
+        if defer_splits and pallas_replay:
+            # one Pallas launch for the whole replay chain (ops/prng.py);
+            # bit-identical to the while-loop below (speculate is
+            # factory-rejected with pallas_replay, so n_ends_eff/end1
+            # are exactly s.n_ends/s.leaf_end_at here)
+            from walnuts_tpu.ops.prng import replay_split_chain
+
+            impl0 = jax.random.key_impl(s.key)
+            kd, ku_r = replay_split_chain(
+                jax.random.key_data(s.key).astype(jnp.uint32),
+                s.ku.astype(jnp.uint32), s.n_ends, s.leaf_end_at,
+                interpret=jax.default_backend() != "tpu",
+            )
+            s = s._replace(
+                key=jax.random.wrap_key_data(kd, impl=impl0),
+                ku=ku_r.astype(s.ku.dtype),
+                n_ends=jnp.zeros_like(s.n_ends),
+                leaf_end_at=jnp.zeros_like(s.leaf_end_at),
+            )
+            ku_unif = s.ku
+        elif defer_splits:
+            # replay the window's deferred key splits: each lane consumed
+            # n_ends splits (sequential — split j feeds split j+1), and
+            # the leaf-completing attempt's subkey becomes ku. The loop
+            # runs max-lane ends times: one batched threefry each,
+            # instead of one EVERY trip in the integration loop.
+            n_replay = jnp.max(n_ends_eff)
+
+            if speculate:
+                # dual capture: the resolving leaf's subkey (mark end1)
+                # feeds THIS pass's uniforms; a promoted pending leaf
+                # that already ended (mark s.leaf_end_at) has its subkey
+                # captured too — its splits are consumed by this replay,
+                # so the next pass could not re-derive it.
+                def replay_body(c):
+                    j, key, ku, ku2 = c
+                    ks = vsplit(key)
+                    adv = j < n_ends_eff
+                    key = _key_where(adv, ks[:, 0], key)
+                    kd = jax.random.key_data(ks[:, 1])
+                    hit = adv & (end1 == j + 1)
+                    extra = ku.ndim - hit.ndim
+                    ku = jnp.where(
+                        hit.reshape(hit.shape + (1,) * extra), kd, ku
+                    )
+                    hit2 = adv & keep2 & (s.leaf_end_at == j + 1)
+                    ku2 = jnp.where(
+                        hit2.reshape(hit2.shape + (1,) * extra), kd, ku2
+                    )
+                    return j + 1, key, ku, ku2
+
+                _, key_r, ku_r, ku2_r = jax.lax.while_loop(
+                    lambda c: c[0] < n_replay, replay_body,
+                    (jnp.int32(0), s.key, s.ku, s.ku),
+                )
+                extra = ku_r.ndim - keep2.ndim
+                ku_state = jnp.where(
+                    keep2.reshape(keep2.shape + (1,) * extra),
+                    ku2_r, ku_r,
+                )
+            else:
+                def replay_body(c):
+                    j, key, ku = c
+                    ks = vsplit(key)
+                    adv = j < n_ends_eff
+                    key = _key_where(adv, ks[:, 0], key)
+                    hit = adv & (end1 == j + 1)
+                    extra = ku.ndim - hit.ndim
+                    ku = jnp.where(
+                        hit.reshape(hit.shape + (1,) * extra),
+                        jax.random.key_data(ks[:, 1]), ku,
+                    )
+                    return j + 1, key, ku
+
+                _, key_r, ku_r = jax.lax.while_loop(
+                    lambda c: c[0] < n_replay, replay_body,
+                    (jnp.int32(0), s.key, s.ku),
+                )
+                ku_state = ku_r
+            s = s._replace(
+                key=key_r, ku=ku_state,
+                n_ends=jnp.zeros_like(s.n_ends),
+                leaf_end_at=jnp.zeros_like(s.leaf_end_at),
+            )
+            ku_unif = ku_r
+        else:
+            ku_unif = s.ku
+
+        # the three leaf uniforms, derived from the resolving leaf's
+        # subkey (one batched threefry per pass; identical values to the
+        # classic body's per-attempt uniforms at the leaf-completing
+        # attempt)
+        impl = jax.random.key_impl(s.key)
+        unifs = jax.vmap(
+            lambda kd: jax.random.uniform(
+                jax.random.wrap_key_data(kd, impl=impl), (3,), dtype=dtype
+            )
+        )(ku_unif)
 
         new_leaf_idx = s.leaf_idx + 1
         subtree_done = leaf_ok & (new_leaf_idx >= s.n_leaves)
@@ -708,6 +886,21 @@ def make_batched_sample_block(
         r1 = restart[:, None]
         r2 = restart[:, None, None]
 
+        if speculate:
+            # sub-U-turn flush: restore the counters latched at the
+            # pending leaf's end — the speculative attempts' Adam
+            # observations, fail counts, and gradient counts never
+            # happened on the classic chain
+            adam_eff = jax.tree.map(
+                lambda a, b: jnp.where(flush, b, a), s.adam, s.l1_adam
+            )
+            fails_eff = jax.tree.map(
+                lambda a, b: jnp.where(flush, b, a), s.fails, s.l1_fails
+            )
+            n_grads_eff = jnp.where(flush, s.l1_n_grads, s.n_grads)
+        else:
+            adam_eff, fails_eff, n_grads_eff = s.adam, s.fails, s.n_grads
+
         if adapt_full:
             # Per-lane warmup adaptation applied AT the lane's own draw
             # boundary (AdaptiveWalnuts::operator(), adaptive_walnuts.hpp
@@ -734,7 +927,7 @@ def make_batched_sample_block(
                 mm_obs, mm_est,
             )
             iteration = iteration + complete.astype(jnp.int32)
-            step_next = jnp.where(restart, adam_step_size(s.adam), step)
+            step_next = jnp.where(restart, adam_step_size(adam_eff), step)
             inv_mass_next = jnp.where(
                 restart[:, None],
                 jax.vmap(mass_estimator_inv_mass)(mass), inv_mass,
@@ -753,7 +946,14 @@ def make_batched_sample_block(
             s.key, sel_theta, sel_logp, sel_grad, step_next, inv_mass_next
         )
 
-        cont = active & s.leaf_done & ~complete
+        cont = pend & ~complete
+        if speculate:
+            # a promoted speculating lane keeps its machine (it is
+            # mid-flight in the next leaf); only idle-latched lanes get
+            # the continue-leaf machine reset
+            cont_m = cont & ~spec
+        else:
+            cont_m = cont
 
         # --- single-pass merged field writes ---
         new_dir = jnp.where(restart, forward0,
@@ -812,8 +1012,21 @@ def make_batched_sample_block(
                              jnp.where(deeper, acc_end_joint,
                                        jnp.where(push, fwd_joint,
                                                  s.ms_joint)))
-        rc = restart | cont
+        rc = restart | cont_m
         rc2 = rc[:, None, None]
+        if speculate:
+            # resolved spec lanes either promoted (pending leaf becomes
+            # history; machine latches now describe the still-running —
+            # or already-latched — next leaf) or flushed (restart wrote
+            # the machine wholesale); either way the spec bit clears
+            spec_new = jnp.where(pend, False, s.spec)
+            # promoted spec lanes KEEP their machine latches (they
+            # describe the next leaf); everyone else resolved clears
+            clear = pend & (~spec | flush)
+        else:
+            spec_new = s.spec
+            clear = pend
+        fresh_new = (s.fresh | rc) if fresh_cur else s.fresh
 
         return s._replace(
             key=_key_where(restart, knew, s.key),
@@ -843,29 +1056,100 @@ def make_batched_sample_block(
             ms=ms, ms_joint=ms_joint,
             halvings=jnp.where(rc, jnp.int32(0), s.halvings),
             dt=jnp.where(restart, dt0,
-                         jnp.where(cont, jnp.where(new_dir, step, -step),
+                         jnp.where(cont_m, jnp.where(new_dir, step, -step),
                                    s.dt)),
             steps_done=jnp.where(rc, jnp.int32(0), s.steps_done),
             # restarting lanes pick up their (possibly just-adapted)
             # next-draw min_micro; continuing lanes keep the current
             # draw's value (identical arrays outside adapt_full)
             steps_total=jnp.where(restart, min_micro_next,
-                                  jnp.where(cont, min_micro,
+                                  jnp.where(cont_m, min_micro,
                                             s.steps_total)),
             phase=jnp.where(rc, jnp.int32(_PH_FWD), s.phase),
             # fresh_cur: mark the cursor stale (one (C,) bit) and let the
             # next trip integrate from ms, instead of the 3-row write
             cur=s.cur if fresh_cur else jnp.where(rc2, ms, s.cur),
-            fresh=(s.fresh | rc) if fresh_cur else s.fresh,
+            fresh=fresh_new,
             lp_cur=jnp.where(restart, sel_logp, s.lp_cur),
-            leaf_done=jnp.where(active & s.leaf_done, False, s.leaf_done),
-            leaf_ok=jnp.where(active & s.leaf_done, False, s.leaf_ok),
-            fails=s.fails._replace(
-                n_depth_exhausted=s.fails.n_depth_exhausted
+            leaf_done=jnp.where(clear, False, s.leaf_done),
+            leaf_ok=jnp.where(clear, False, s.leaf_ok),
+            spec=spec_new,
+            adam=adam_eff,
+            n_grads=n_grads_eff,
+            fails=fails_eff._replace(
+                n_depth_exhausted=fails_eff.n_depth_exhausted
                 + exhausted.astype(jnp.int32)
             ),
             draws_done=new_draws_done,
         ), complete, sel_theta, sel_logp, out_depth, sel_grad, aux
+
+    def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
+                   block_draws, aux=None):
+        """One tier-2 pass. With ``speculate``, the pass resolves up to
+        TWO leaves per lane: the pending (speculated-over) leaf first,
+        then — if that promoted and the speculative leaf itself already
+        latched — the speculative leaf as well, halving the pass count
+        on leaf-bound lanes (the pass count otherwise floors at the
+        max-lane leaf count because a pass retires one leaf per lane).
+        The second resolution reuses the machinery verbatim: its subkey
+        was dual-captured into ``ku`` by the first resolution's replay
+        (whose splits this window consumed), its replay is a self-bounded
+        no-op (``n_ends`` is zero), and every mask is empty for lanes
+        with nothing left pending. Per lane at most one of the two
+        resolutions can complete a draw (a lane resolved-and-restarted
+        in the first cannot have latched again without integration
+        trips), so the merged emission outputs stay per-lane unique."""
+        s, c1, th1, lp1, dep1, g1, aux = _resolve_pending(
+            s, active, step, inv_mass, min_micro, block_draws, aux
+        )
+        if not speculate:
+            return s, c1, th1, lp1, dep1, g1, aux
+
+        # Second resolution as a self-bounding while: after the first,
+        # only lanes that promoted a pending leaf whose speculative leaf
+        # had ALSO already latched still show leaf_done (the first
+        # resolution clears everyone else, and the second clears those,
+        # so the loop runs 0 or 1 times). Passes where no lane carries a
+        # second resolvable leaf — the common case in trip-bound
+        # regimes — pay only the any() reduction, not a second pass
+        # body (an unconditional second body measured ~2x pass cost).
+        def second_cond(c):
+            return jnp.any(active & c[0].leaf_done)
+
+        def second_body(c):
+            s2, c1_, th1_, lp1_, dep1_, g1_, aux2 = c
+            if aux2 is not None:
+                # adapt_full: the resolution returns the 6-tuple aux
+                # (estimator states + per-lane NEXT-draw transition
+                # parameters); re-thread exactly as the trip loop would
+                mass, mm_est, iteration, im2, st2, mm2 = aux2
+                aux3 = (mass, mm_est, iteration)
+            else:
+                im2, st2, mm2 = inv_mass, step, min_micro
+                aux3 = None
+            s2, c2, th2, lp2, dep2, g2, aux3 = _resolve_pending(
+                s2, active, st2, im2, mm2, block_draws, aux3
+            )
+            # per lane at most one of the two resolutions completes a
+            # draw (a lane resolved-and-restarted in the first cannot
+            # have latched again without integration trips)
+            c2_1 = c2[:, None]
+            return (
+                s2, c1_ | c2,
+                jnp.where(c2_1, th2, th1_),
+                jnp.where(c2, lp2, lp1_),
+                jnp.where(c2, dep2, dep1_),
+                jnp.where(c2_1, g2, g1_),
+                aux3,
+            )
+
+        s, complete, sel_theta, sel_logp, out_depth, sel_grad, aux = (
+            jax.lax.while_loop(
+                second_cond, second_body,
+                (s, c1, th1, lp1, dep1, g1, aux),
+            )
+        )
+        return s, complete, sel_theta, sel_logp, out_depth, sel_grad, aux
 
     def sample_block(state: LaneState, step, inv_mass, min_micro,
                      max_error, num_draws: int):
@@ -910,7 +1194,7 @@ def make_batched_sample_block(
                 def inner_body(c2):
                     s, n = c2
                     return (
-                        inner_trip(s, active, inv_mass, min_micro,
+                        inner_trip(s, active, step, inv_mass, min_micro,
                                    max_error),
                         n + 1,
                     )
@@ -1049,7 +1333,7 @@ def make_batched_sample_block(
                 def inner_body(c2):
                     s, n = c2
                     return (
-                        inner_trip(s, active, inv_mass, min_micro,
+                        inner_trip(s, active, step, inv_mass, min_micro,
                                    max_error),
                         n + 1,
                     )
@@ -1144,7 +1428,8 @@ def make_batched_sample_block(
 def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
                               pallas_replay: bool = False,
                               runahead: int = 4,
-                              tier2_every: int = 6):
+                              tier2_every: int = 6,
+                              speculate: bool = False):
     """Batched-native ADAPTIVE WARMUP block — asynchronous per lane.
 
     The warmup adaptation dependency ("every draw's transition reads
@@ -1190,6 +1475,7 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
         adapt_step_size=True,
         pallas_replay=pallas_replay,
         adapt_full=True,
+        speculate=speculate,
     )
     block_adapt = sample_block.adapt
     max_error = sampling_cfg.max_hamiltonian_error

@@ -140,6 +140,7 @@ def run_warmup(
     runahead: int = 4,
     tier2_every: int = 6,
     batched_groups: int = 1,
+    speculate: bool = False,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -189,6 +190,7 @@ def run_warmup(
         warmup_block = make_batched_warmup_block(
             logp_grad, sampling_cfg, pallas_replay=pallas_replay,
             runahead=runahead, tier2_every=tier2_every,
+            speculate=speculate,
         )
 
         @partial(jax.jit, static_argnums=1, donate_argnums=0)
@@ -369,6 +371,7 @@ def run_sampling(
     defer_splits: bool = True,
     pallas_replay: bool = False,
     fresh_cur: bool = False,
+    speculate: bool = False,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -580,6 +583,7 @@ def run_sampling(
             defer_splits=defer_splits,
             pallas_replay=pallas_replay,
             fresh_cur=fresh_cur,
+            speculate=speculate,
         )
         b_max_error = sampling_cfg.max_hamiltonian_error
 
