@@ -530,6 +530,65 @@ class TestBatchedRuntime:
                             jax.tree.leaves(ws_b1.mass)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_speculate_warmup_exact_logic_eager(self):
+        """Warmup speculation computes the exact same real-number
+        adaptation chain — proven bitwise in EAGER mode (each op runs
+        unfused), including the Adam/estimator rollback on mispredict
+        flushes. Under jit it is schedule-exact but the adapted floats
+        drift ~1 ulp/pass (the pass program fuses the adaptation
+        arithmetic differently — the fresh_cur contraction class; the
+        jit path is pinned at tolerance by
+        test_batched_warmup_matches_classic). Tiny shapes: eager while
+        loops are slow."""
+        from walnuts_tpu.config import SamplingConfig, WarmupConfig
+        from walnuts_tpu.core.adapt import nutpie_init_mass
+        from walnuts_tpu.core.batched import make_batched_warmup_block
+        from walnuts_tpu.core.sampler import init_warmup_state
+        from walnuts_tpu.models import funnel as funnel_model
+        from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
+
+        C, N = 6, 6
+        logp, dim = funnel_model(5)
+        lg = make_logp_grad(logp)
+        wcfg = WarmupConfig(min_iter=N, max_iter=N, block_size=N)
+        scfg = SamplingConfig(
+            min_iter=4, max_iter=4, block_size=4, max_step_halvings=6
+        )
+        base = jax.random.key(3)
+        keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(
+            jnp.arange(C)
+        )
+        theta0 = 2.0 * jax.random.normal(
+            jax.random.fold_in(base, 99), (C, dim)
+        )
+        grads = jax.vmap(lambda t: lg(t)[1])(theta0)
+        im0 = jax.vmap(lambda g: nutpie_init_mass(g, jnp.asarray(1e-5)))(
+            grads
+        )
+        step0 = jax.vmap(
+            lambda k, t, m: adapt_step_size(k, lg, t, m, jnp.asarray(1.0))
+        )(keys, theta0, im0)
+
+        def run(spec):
+            ws = jax.vmap(
+                lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+            )(keys, theta0, im0, step0)
+            blk = make_batched_warmup_block(lg, scfg, speculate=spec)
+            with jax.disable_jit():
+                ws, (th, _lp) = blk(ws, N)
+            return ws, np.asarray(th)
+
+        wa, tha = run(False)
+        wb, thb = run(True)
+        np.testing.assert_array_equal(tha, thb)
+        for est_a, est_b in ((wa.mass, wb.mass), (wa.adam, wb.adam),
+                             (wa.min_micro, wb.min_micro)):
+            for x, y in zip(jax.tree.leaves(est_a), jax.tree.leaves(est_b)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_array_equal(
+            jax.random.key_data(wa.key), jax.random.key_data(wb.key)
+        )
+
     def test_api_batched_end_to_end(self):
         """walnuts(batched=True, batched_groups=2) matches the classic
         scheduler through the full public API: allclose end-to-end (the
