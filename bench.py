@@ -114,7 +114,10 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # BENCH_BGROUPS / BENCH_RUNAHEAD / BENCH_T2K override. Dynamic
     # cost-sorted groups only pay on the funnel's heavy-tailed per-chain
     # costs; logreg/SV run one group.
-    default_groups = 4 if model_name == "funnel" else 1
+    multiplex = bool(int(os.environ.get("BENCH_MULTIPLEX", 0)))
+    # multiplex replaces dynamic groups (they'd split the chain pairs);
+    # its antithetic pairing covers the same cost heterogeneity
+    default_groups = 4 if model_name == "funnel" and not multiplex else 1
     # per-model (B, K) from the round-3 knob sweep (docs/BENCHMARKS.md):
     # the funnel's cheap body wants a shallow B=4 buffer (-6.5%), the
     # 1003-dim SV's wide tier-2 rows want K=12 amortisation (-17%).
@@ -132,6 +135,10 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         pallas_replay=bool(int(os.environ.get("BENCH_PREPLAY", 0))),
         fresh_cur=bool(int(os.environ.get("BENCH_FRESHCUR", 0))),
         speculate=bool(int(os.environ.get("BENCH_SPEC", 0))) and batched,
+        # BENCH_MULTIPLEX=1: sample the SAME chain count on half the
+        # lanes (two chains per lane, switch at draw boundaries) — set
+        # BENCH_CHAINS higher to trade it for more chains instead
+        multiplex=multiplex and batched,
         unroll=unroll,
     )
     jax.block_until_ready((sstate, draws))

@@ -78,7 +78,7 @@ def warmed():
 
 def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
                 defer_splits=True, pallas_replay=False, fresh_cur=False,
-                speculate=False):
+                speculate=False, multiplex=False):
     lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
     ss = jax.tree.map(jnp.array, warmed["ss"])
     start_block, sample_block = make_batched_sample_block(
@@ -92,6 +92,7 @@ def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
         pallas_replay=pallas_replay,
         fresh_cur=fresh_cur,
         speculate=speculate,
+        multiplex=multiplex,
     )
 
     @jax.jit
@@ -175,6 +176,58 @@ class TestBatchedBitwise:
                 lg, scfg.max_trajectory_doublings,
                 scfg.max_step_halvings, speculate=True,
                 pallas_replay=True,
+            )
+
+    @pytest.mark.parametrize("spec", [False, True])
+    def test_multiplex_schedule_bitwise(self, warmed, spec):
+        """Chain multiplexing (two chains per lane, switching at draw
+        boundaries) is the same per-chain Markov schedule: keys, depths,
+        gradient counts, and fail counters are bitwise the
+        one-chain-per-lane scheduler's. Draw FLOATS are the same
+        real-number chain but drift ~1 ulp under jit (the active chain's
+        step/inv_mass become loop carries, changing XLA's leapfrog
+        contraction — the fresh_cur class; eager bitwise is pinned by
+        test_multiplex_exact_logic_eager)."""
+        th, lp, dep, key_data, _ = warmed["classic"]
+        res = run_batched(warmed, 8, 4, multiplex=True, speculate=spec)
+        np.testing.assert_array_equal(dep, np.asarray(res.depths))
+        np.testing.assert_array_equal(
+            key_data, np.asarray(jax.random.key_data(res.key))
+        )
+        base = run_batched(warmed, 8, 4)
+        np.testing.assert_array_equal(
+            np.asarray(base.n_grads_delta), np.asarray(res.n_grads_delta)
+        )
+        for a, b in zip(jax.tree.leaves(base.fails_delta),
+                        jax.tree.leaves(res.fails_delta)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(th, np.asarray(res.draws),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(lp, np.asarray(res.logps),
+                                   rtol=1e-9, atol=1e-9)
+
+    def test_multiplex_exact_logic_eager(self, warmed):
+        """Eager mode (unfused per-op rounding) proves the multiplexed
+        chains compute the exact same real-number draws. Short horizon:
+        eager while loops are slow."""
+        with jax.disable_jit():
+            r0 = run_batched(warmed, 4, 3, num_draws=2)
+            r1 = run_batched(warmed, 4, 3, num_draws=2, multiplex=True)
+        np.testing.assert_array_equal(np.asarray(r0.draws),
+                                      np.asarray(r1.draws))
+        np.testing.assert_array_equal(np.asarray(r0.logps),
+                                      np.asarray(r1.logps))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(r0.key)),
+            np.asarray(jax.random.key_data(r1.key)),
+        )
+
+    def test_multiplex_option_validation(self, warmed):
+        lg, scfg = warmed["lg"], warmed["scfg"]
+        with pytest.raises(ValueError, match="adapt_full|warmup"):
+            make_batched_sample_block(
+                lg, scfg.max_trajectory_doublings,
+                scfg.max_step_halvings, multiplex=True, adapt_full=True,
             )
 
     @pytest.mark.parametrize("B,K", [(8, 6), (4, 12)])
@@ -367,6 +420,37 @@ class TestBatchedRuntime:
         )
         np.testing.assert_array_equal(draws_c, np.asarray(draws))
         np.testing.assert_array_equal(logps_c, np.asarray(logps))
+
+    def test_multiplex_matches_classic_across_blocks(self, warmed,
+                                                     classic_run):
+        """run_sampling(multiplex=True): 3 blocks of 8 — the block
+        boundary reconstructs per-chain keys/counters from the
+        parked/live split and re-enters exactly like the classic path.
+        Schedule bitwise (keys/depths via n_grads), draws at the jit
+        contraction tolerance."""
+        from walnuts_tpu.parallel.runtime import run_sampling
+
+        scfg, draws_c, logps_c = classic_run
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        state, draws, logps, info = run_sampling(
+            warmed["lg"], ss, warmed["params"], scfg,
+            batched=True, runahead=4, tier2_every=3, multiplex=True,
+        )
+        np.testing.assert_allclose(draws_c, np.asarray(draws),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(logps_c, np.asarray(logps),
+                                   rtol=1e-9, atol=1e-9)
+        ss2 = jax.tree.map(jnp.array, warmed["ss"])
+        state_b, _, _, _ = run_sampling(
+            warmed["lg"], ss2, warmed["params"], scfg,
+            batched=True, runahead=4, tier2_every=3,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(state_b.key)),
+            np.asarray(jax.random.key_data(state.key)),
+        )
+        np.testing.assert_array_equal(np.asarray(state_b.n_grads),
+                                      np.asarray(state.n_grads))
 
     def test_speculate_matches_classic_across_blocks(self, warmed,
                                                      classic_run):

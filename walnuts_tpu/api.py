@@ -90,6 +90,7 @@ def walnuts(
     min_latched: int = 0,
     defer_splits: bool = True,
     speculate: bool = False,
+    multiplex: bool = False,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     checkpoint_keep_last_n: Optional[int] = None,
@@ -156,6 +157,17 @@ def walnuts(
       floats drift ~1 ulp/pass under jit (eager-exact — the same
       compiler-contraction class as the async warmup itself). Off by
       default pending the TPU A/B.
+    - ``multiplex``: two chains per lane for the batched sampler —
+      lanes switch to their sibling chain at draw boundaries, so
+      per-lane work approaches the PAIR-mean cost and the batch-max
+      padding floor (3.9x lane-total heterogeneity on the funnel)
+      shrinks, at half the per-trip row traffic per chain. Requires an
+      even ``num_chains``; sampling only (warmup runs one chain per
+      lane). Schedule/keys/counters are bitwise the one-chain-per-lane
+      scheduler's; draw floats are eager-exact and drift ~1 ulp under
+      jit (the active chain's step/inv_mass become loop carries, which
+      changes XLA's leapfrog contraction — the ``fresh_cur`` class).
+      Off by default pending the TPU A/B.
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
@@ -203,6 +215,14 @@ def walnuts(
         # batched-native path emits bitwise-identical draws, so this is a
         # pure scheduling default (docs/BENCHMARKS.md round 3)
         batched = integrator is None and not flatten and chain_groups == 1
+    if (speculate or multiplex) and not batched:
+        # never silently drop a requested scheduler feature
+        raise ValueError(
+            "speculate/multiplex require the batched scheduler; they "
+            "were requested together with batched=False (or with "
+            "options that force the classic path: integrator/flatten/"
+            "chain_groups)"
+        )
     if num_chains < 1:
         raise ValueError(
             f"num_chains must be positive; found num_chains = {num_chains}"
@@ -447,6 +467,7 @@ def walnuts(
                 runahead=runahead, tier2_every=tier2_every,
                 min_latched=min_latched, defer_splits=defer_splits,
                 speculate=speculate and batched,
+                multiplex=multiplex and batched,
                 checkpoint=ckpt, start_it=start_sampling,
                 thin=thin, keep_dims=keep_dims,
             )

@@ -167,6 +167,24 @@ class LaneState(NamedTuple):
                            # (rollback target on a sub-U-turn flush)
     l1_adam: AdamState     # Adam at the pending leaf's end (rollback)
     l1_fails: FailStats    # fail counters at the pending leaf's end
+    # --- chain-multiplexing parked slot (multiplex mode; shape-(0,)
+    # dummies otherwise). The lane's OTHER chain sits here between its
+    # draws: position/gradient/logp of its last selected state, its PRNG
+    # key (raw data), and its counters. ``cslot`` is the slot index
+    # (0/1) of the chain currently on the machine ---
+    cslot: Array           # int32 in {0, 1}
+    ot_theta: Array        # (C, D)
+    ot_grad: Array         # (C, D)
+    ot_logp: Array         # (C,)
+    ot_key: Array          # (C, ...) raw key data
+    ot_draws: Array        # (C,) int32
+    ot_n_grads: Array      # (C,) int32
+    ot_fails: FailStats
+    # active chain's transition parameters (written at switches only;
+    # the trip reads these instead of the block args under multiplex)
+    act_step: Array        # (C,)
+    act_im: Array          # (C, D)
+    act_mm: Array          # (C,) int32
     # --- step-size adaptation (warmup only; a frozen dummy when
     # sampling — a handful of (C,) scalars, negligible carry cost) ---
     adam: AdamState
@@ -206,6 +224,7 @@ def make_batched_sample_block(
     fresh_cur: bool = False,
     adapt_full: bool = False,
     speculate: bool = False,
+    multiplex: bool = False,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -310,7 +329,27 @@ def make_batched_sample_block(
     (tests/test_batched.py). Requires ``defer_splits``; incompatible
     with ``pallas_replay`` (the fused replay kernel has no dual-capture
     slot). Off by default pending the TPU A/B.
+
+    ``multiplex`` runs TWO chains per lane (the block inputs carry
+    ``2*C`` chains; chain ``c`` maps to lane ``c // 2``, slot ``c % 2``),
+    switching at draw boundaries: when the active chain completes a
+    draw, the lane continues with whichever of its two chains has fewer
+    banked draws. This attacks the measured lane-TOTAL heterogeneity
+    floor (3.9x on the funnel — the binding wall of any fixed
+    chain-to-lane assignment, docs/BENCHMARKS.md): per-lane work becomes
+    the MEAN of two chains' costs, so the batch-max padding shrinks
+    toward the pair-mean max (~1/sqrt(2) for random pairing; much more
+    under the runtime's antithetic cost pairing). Scheduling-only: each
+    chain's RNG stream, draw values, and counters are BITWISE those of
+    the same chains run one-per-lane (the switch defers a parked chain's
+    trajectory-start split until its activation — same per-chain split
+    order), at half the lanes per trip. The parked chain costs 2 (C, D)
+    rows of carry (position + cached gradient) written only at switches.
     """
+    if multiplex and adapt_full:
+        raise ValueError("multiplex=True is not yet supported for the "
+                         "asynchronous warmup (adapt_full); multiplex "
+                         "applies to fixed-parameter sampling")
     if speculate and not defer_splits:
         raise ValueError("speculate=True requires defer_splits=True "
                          "(the rollback truncates the deferred-split "
@@ -354,11 +393,21 @@ def make_batched_sample_block(
         return ks[:, 0], rho0, joint0, forward0, dt0, start
 
     def _lane_state(key, theta, logp0, grad0, step, inv_mass, min_micro,
-                    adam, n_grads, fails):
+                    adam, n_grads, fails, parked=None):
         """Batched LaneState from a start point with KNOWN logp/grad."""
         dtype = theta.dtype
         e_dtype = jnp.bfloat16 if bf16_ends else dtype
         C, D = theta.shape
+        if parked is None:
+            z0 = jnp.zeros((0,))
+            zi = jnp.zeros((0,), jnp.int32)
+            parked = (
+                jnp.zeros((C,), jnp.int32), z0, z0, z0,
+                jnp.zeros((0,), jnp.uint32), zi, zi,
+                FailStats(zi, zi, zi), z0, z0, zi,
+            )
+        (cslot, ot_theta, ot_grad, ot_logp, ot_key, ot_draws,
+         ot_n_grads, ot_fails, act_step, act_im, act_mm) = parked
         knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
             key, theta, logp0, grad0, step, inv_mass
         )
@@ -409,6 +458,10 @@ def make_batched_sample_block(
             l1_n_grads=n_grads,
             l1_adam=adam,
             l1_fails=fails,
+            cslot=cslot, ot_theta=ot_theta, ot_grad=ot_grad,
+            ot_logp=ot_logp, ot_key=ot_key, ot_draws=ot_draws,
+            ot_n_grads=ot_n_grads, ot_fails=ot_fails,
+            act_step=act_step, act_im=act_im, act_mm=act_mm,
             adam=adam,
             n_grads=n_grads,
             fails=fails,
@@ -418,13 +471,48 @@ def make_batched_sample_block(
     def start_block(key, theta, n_grads, fails, step, inv_mass, min_micro,
                     adam=None):
         dtype = theta.dtype
-        if adam is None:  # sampling: a frozen dummy (classic sample_step)
-            adam = jax.vmap(lambda s: adam_init(s, dtype=dtype))(step)
-        # the block-entry gradient is fresh (and counted), exactly like
-        # the classic transition entry (walnuts.hpp:531-532)
+        if not multiplex:
+            if adam is None:  # sampling: frozen dummy (classic sample_step)
+                adam = jax.vmap(lambda s: adam_init(s, dtype=dtype))(step)
+            # the block-entry gradient is fresh (and counted), exactly
+            # like the classic transition entry (walnuts.hpp:531-532)
+            logp0, grad0 = vlogp_grad(theta)
+            return _lane_state(key, theta, logp0, grad0, step, inv_mass,
+                               min_micro, adam, n_grads + 1, fails)
+        # multiplex: block inputs carry 2*C chains; chain c -> lane c//2,
+        # slot c%2. The entry gradient runs as ONE 2C batch (bitwise the
+        # one-chain-per-lane program's entry eval); slot 0 mounts the
+        # machine, slot 1 parks.
+        CT, D = theta.shape
+        if CT % 2:
+            raise ValueError("multiplex=True needs an even chain count")
+        C = CT // 2
         logp0, grad0 = vlogp_grad(theta)
-        return _lane_state(key, theta, logp0, grad0, step, inv_mass,
-                           min_micro, adam, n_grads + 1, fails)
+
+        def sl(x):
+            return x.reshape((C, 2) + x.shape[1:])
+
+        th2, lp2, gr2 = sl(theta), sl(logp0), sl(grad0)
+        st2, im2 = sl(step), sl(inv_mass)
+        mm2 = sl(jnp.broadcast_to(jnp.asarray(min_micro, jnp.int32), (CT,)))
+        ng2 = sl(n_grads + 1)
+        fl2 = jax.tree.map(sl, fails)
+        kd2 = sl(jax.random.key_data(key))
+        key0 = jax.random.wrap_key_data(
+            kd2[:, 0], impl=jax.random.key_impl(key)
+        )
+        adam0 = jax.vmap(lambda s: adam_init(s, dtype=dtype))(st2[:, 0])
+        parked = (
+            jnp.zeros((C,), jnp.int32),          # cslot
+            th2[:, 1], gr2[:, 1], lp2[:, 1], kd2[:, 1],
+            jnp.zeros((C,), jnp.int32),          # ot_draws
+            ng2[:, 1], jax.tree.map(lambda x: x[:, 1], fl2),
+            st2[:, 0], im2[:, 0], mm2[:, 0],     # act_* (slot 0)
+        )
+        return _lane_state(key0, th2[:, 0], lp2[:, 0], gr2[:, 0],
+                           st2[:, 0], im2[:, 0], mm2[:, 0], adam0,
+                           ng2[:, 0],
+                           jax.tree.map(lambda x: x[:, 0], fl2), parked)
 
     # warmup entry with the start point's logp/grad already known
     start_block_cached = _lane_state
@@ -625,7 +713,7 @@ def make_batched_sample_block(
     # is the measured cost ceiling of the whole scheduler.
     # ------------------------------------------------------------------
     def _resolve_pending(s: LaneState, active, step, inv_mass, min_micro,
-                         block_draws, aux=None):
+                         block_draws, aux=None, params2=None):
         dtype = s.ms_joint.dtype
         # --- pending-leaf resolution values. With speculate, the leaf
         # awaiting resolution may be latched in ms/ms_joint + l1_*
@@ -876,15 +964,6 @@ def make_batched_sample_block(
         sel_grad = jnp.where(take[:, None], run_sel_grad_v, s.acc_grad_sel)
 
         new_draws_done = s.draws_done + complete.astype(jnp.int32)
-        # Restart immediately on completion even when the lane is about
-        # to park at the run-ahead cap (the ``active`` mask keeps the
-        # fresh trajectory idle until the emission cursor catches up).
-        # EXCEPT at the block end: the lane's key must equal the classic
-        # end-of-draw key so the next block (which re-inits exactly like
-        # the classic path) continues the same per-lane stream.
-        restart = complete & (new_draws_done < block_draws)
-        r1 = restart[:, None]
-        r2 = restart[:, None, None]
 
         if speculate:
             # sub-U-turn flush: restore the counters latched at the
@@ -900,6 +979,85 @@ def make_batched_sample_block(
             n_grads_eff = jnp.where(flush, s.l1_n_grads, s.n_grads)
         else:
             adam_eff, fails_eff, n_grads_eff = s.adam, s.fails, s.n_grads
+
+        # Restart immediately on completion even when the lane is about
+        # to park at the run-ahead cap (the ``active`` mask keeps the
+        # fresh trajectory idle until the emission cursor catches up).
+        # EXCEPT at the block end: the lane's key must equal the classic
+        # end-of-draw key so the next block (which re-inits exactly like
+        # the classic path) continues the same per-chain stream.
+        if multiplex:
+            # chain switch at the draw boundary: continue with whichever
+            # of the lane's two chains has fewer banked draws (ties stay
+            # on the completing chain). A switch target always has
+            # strictly fewer draws than block_draws, so switch implies
+            # restart — a lane that completes its final draw without a
+            # runnable sibling keeps the completing chain live (its key
+            # stays the classic end-of-draw key for reconstruction).
+            step2, im2, mm2 = params2
+            switch = complete & (s.ot_draws < new_draws_done)
+            sw1 = switch[:, None]
+            # the completing chain's park record; counters fold in this
+            # pass's depth-exhaustion increment
+            fails_park = fails_eff._replace(
+                n_depth_exhausted=fails_eff.n_depth_exhausted
+                + exhausted.astype(jnp.int32)
+            )
+            kd = jax.random.key_data(s.key)
+            exk = kd.ndim - switch.ndim
+            swk = switch.reshape(switch.shape + (1,) * exk)
+            tgt_theta = jnp.where(sw1, s.ot_theta, sel_theta)
+            tgt_logp = jnp.where(switch, s.ot_logp, sel_logp)
+            tgt_grad = jnp.where(sw1, s.ot_grad, sel_grad)
+            key_r0 = _key_where(
+                switch,
+                jax.random.wrap_key_data(
+                    s.ot_key, impl=jax.random.key_impl(s.key)
+                ),
+                s.key,
+            )
+            draws_t = jnp.where(switch, s.ot_draws, new_draws_done)
+            n_grads_t = jnp.where(switch, s.ot_n_grads, n_grads_eff)
+            fails_t = jax.tree.map(
+                lambda a, b: jnp.where(switch, a, b),
+                s.ot_fails, fails_park,
+            )
+            cslot_t = jnp.where(switch, 1 - s.cslot, s.cslot)
+            ot_theta_t = jnp.where(sw1, sel_theta, s.ot_theta)
+            ot_grad_t = jnp.where(sw1, sel_grad, s.ot_grad)
+            ot_logp_t = jnp.where(switch, sel_logp, s.ot_logp)
+            ot_key_t = jnp.where(swk, kd, s.ot_key)
+            ot_draws_t = jnp.where(switch, new_draws_done, s.ot_draws)
+            ot_n_grads_t = jnp.where(switch, n_grads_eff, s.ot_n_grads)
+            ot_fails_t = jax.tree.map(
+                lambda a, b: jnp.where(switch, a, b),
+                fails_park, s.ot_fails,
+            )
+            # the target chain's transition parameters (cslot_t row of
+            # the (C, 2)-shaped block args)
+            other = (1 - s.cslot)[:, None]
+            act_step_t = jnp.where(
+                switch, jnp.take_along_axis(step2, other, axis=1)[:, 0],
+                s.act_step,
+            )
+            act_im_t = jnp.where(
+                sw1,
+                jnp.take_along_axis(im2, other[:, :, None], axis=1)[:, 0],
+                s.act_im,
+            )
+            act_mm_t = jnp.where(
+                switch, jnp.take_along_axis(mm2, other, axis=1)[:, 0],
+                s.act_mm,
+            )
+            restart = complete & (draws_t < block_draws)
+        else:
+            tgt_theta, tgt_logp, tgt_grad = sel_theta, sel_logp, sel_grad
+            key_r0 = s.key
+            draws_t = new_draws_done
+            n_grads_t = n_grads_eff
+            restart = complete & (new_draws_done < block_draws)
+        r1 = restart[:, None]
+        r2 = restart[:, None, None]
 
         if adapt_full:
             # Per-lane warmup adaptation applied AT the lane's own draw
@@ -937,13 +1095,19 @@ def make_batched_sample_block(
             )
             aux = (mass, mm_est, iteration,
                    inv_mass_next, step_next, min_micro_next)
+        elif multiplex:
+            # the fresh trajectory belongs to the (possibly switched-to)
+            # target chain, with ITS parameters
+            step_next, inv_mass_next, min_micro_next = (
+                act_step_t, act_im_t, act_mm_t
+            )
         else:
             step_next, inv_mass_next, min_micro_next = (
                 step, inv_mass, min_micro
             )
 
         knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
-            s.key, sel_theta, sel_logp, sel_grad, step_next, inv_mass_next
+            key_r0, tgt_theta, tgt_logp, tgt_grad, step_next, inv_mass_next
         )
 
         cont = pend & ~complete
@@ -959,36 +1123,39 @@ def make_batched_sample_block(
         new_dir = jnp.where(restart, forward0,
                             jnp.where(deeper, unifs[:, 2] < 0.5, s.forward))
         nd1 = new_dir[:, None]
-        acc_grad_fw = jnp.where(r1, sel_grad,
+        acc_grad_fw = jnp.where(r1, tgt_grad,
                                 jnp.where(upd_fw[:, None], fwd[:, 2],
                                           s.acc_grad_fw))
-        acc_grad_bk = jnp.where(r1, sel_grad,
+        acc_grad_bk = jnp.where(r1, tgt_grad,
                                 jnp.where(upd_bk[:, None], fwd[:, 2],
                                           s.acc_grad_bk))
-        acc_grad_sel = jnp.where(r1 | take[:, None], sel_grad,
-                                 s.acc_grad_sel)
+        acc_grad_sel = jnp.where(r1, tgt_grad,
+                                 jnp.where(take[:, None], sel_grad,
+                                           s.acc_grad_sel))
         acc_v = jnp.stack([
-            jnp.where(r1, sel_theta,
+            jnp.where(r1, tgt_theta,
                       jnp.where(upd_bk[:, None], fwd[:, 0],
                                 s.acc_v[:, _THETA_BK])),
             jnp.where(r1, rho0,
                       jnp.where(upd_bk[:, None], fwd[:, 1],
                                 s.acc_v[:, _RHO_BK])),
-            jnp.where(r1, sel_theta,
+            jnp.where(r1, tgt_theta,
                       jnp.where(upd_fw[:, None], fwd[:, 0],
                                 s.acc_v[:, _THETA_FW])),
             jnp.where(r1, rho0,
                       jnp.where(upd_fw[:, None], fwd[:, 1],
                                 s.acc_v[:, _RHO_FW])),
-            jnp.where((restart | take)[:, None], sel_theta,
-                      s.acc_v[:, _THETA_SEL]),
+            jnp.where(r1, tgt_theta,
+                      jnp.where(take[:, None], sel_theta,
+                                s.acc_v[:, _THETA_SEL])),
         ], axis=1)
         acc_s = jnp.stack([
             jnp.where(restart, joint0,
                       jnp.where(upd_bk, fwd_joint, s.acc_s[:, _LOGP_BK])),
             jnp.where(restart, joint0,
                       jnp.where(upd_fw, fwd_joint, s.acc_s[:, _LOGP_FW])),
-            jnp.where(restart | take, sel_logp, s.acc_s[:, _LOGP_SEL]),
+            jnp.where(restart, tgt_logp,
+                      jnp.where(take, sel_logp, s.acc_s[:, _LOGP_SEL])),
             jnp.where(restart, joint0,
                       jnp.where(subtree_done,
                                 log_sum_exp(s.acc_s[:, _LOGW], run_logw_new),
@@ -1027,6 +1194,19 @@ def make_batched_sample_block(
             spec_new = s.spec
             clear = pend
         fresh_new = (s.fresh | rc) if fresh_cur else s.fresh
+        if multiplex:
+            mux = dict(
+                cslot=cslot_t, ot_theta=ot_theta_t, ot_grad=ot_grad_t,
+                ot_logp=ot_logp_t, ot_key=ot_key_t, ot_draws=ot_draws_t,
+                ot_n_grads=ot_n_grads_t, ot_fails=ot_fails_t,
+                act_step=act_step_t, act_im=act_im_t, act_mm=act_mm_t,
+                fails=fails_t,
+            )
+        else:
+            mux = dict(fails=fails_eff._replace(
+                n_depth_exhausted=fails_eff.n_depth_exhausted
+                + exhausted.astype(jnp.int32)
+            ))
 
         return s._replace(
             key=_key_where(restart, knew, s.key),
@@ -1046,9 +1226,9 @@ def make_batched_sample_block(
                                          jnp.int32(1) << (new_depth - 1),
                                          s.n_leaves)),
             stack_e=stack_e,
-            run_sel=jnp.where(r1, sel_theta, run_sel_v),
-            run_sel_logp=jnp.where(restart, sel_logp, run_sel_logp_v),
-            run_sel_grad=jnp.where(r1, sel_grad, run_sel_grad_v),
+            run_sel=jnp.where(r1, tgt_theta, run_sel_v),
+            run_sel_logp=jnp.where(restart, tgt_logp, run_sel_logp_v),
+            run_sel_grad=jnp.where(r1, tgt_grad, run_sel_grad_v),
             run_logw=jnp.where(restart | deeper,
                                jnp.asarray(-jnp.inf, dtype),
                                jnp.where(leaf_ok, run_logw_new,
@@ -1070,21 +1250,19 @@ def make_batched_sample_block(
             # next trip integrate from ms, instead of the 3-row write
             cur=s.cur if fresh_cur else jnp.where(rc2, ms, s.cur),
             fresh=fresh_new,
-            lp_cur=jnp.where(restart, sel_logp, s.lp_cur),
+            lp_cur=jnp.where(restart, tgt_logp, s.lp_cur),
             leaf_done=jnp.where(clear, False, s.leaf_done),
             leaf_ok=jnp.where(clear, False, s.leaf_ok),
             spec=spec_new,
             adam=adam_eff,
-            n_grads=n_grads_eff,
-            fails=fails_eff._replace(
-                n_depth_exhausted=fails_eff.n_depth_exhausted
-                + exhausted.astype(jnp.int32)
-            ),
-            draws_done=new_draws_done,
-        ), complete, sel_theta, sel_logp, out_depth, sel_grad, aux
+            n_grads=n_grads_t,
+            **mux,
+            draws_done=draws_t,
+        ), complete, sel_theta, sel_logp, out_depth, sel_grad, (
+            new_draws_done - 1), s.cslot, aux
 
     def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
-                   block_draws, aux=None):
+                   block_draws, aux=None, params2=None):
         """One tier-2 pass. With ``speculate``, the pass resolves up to
         TWO leaves per lane: the pending (speculated-over) leaf first,
         then — if that promoted and the speculative leaf itself already
@@ -1099,11 +1277,12 @@ def make_batched_sample_block(
         resolutions can complete a draw (a lane resolved-and-restarted
         in the first cannot have latched again without integration
         trips), so the merged emission outputs stay per-lane unique."""
-        s, c1, th1, lp1, dep1, g1, aux = _resolve_pending(
-            s, active, step, inv_mass, min_micro, block_draws, aux
+        s, c1, th1, lp1, dep1, g1, bi1, bs1, aux = _resolve_pending(
+            s, active, step, inv_mass, min_micro, block_draws, aux,
+            params2=params2,
         )
         if not speculate:
-            return s, c1, th1, lp1, dep1, g1, aux
+            return s, c1, th1, lp1, dep1, g1, bi1, bs1, aux
 
         # Second resolution as a self-bounding while: after the first,
         # only lanes that promoted a pending leaf whose speculative leaf
@@ -1117,18 +1296,22 @@ def make_batched_sample_block(
             return jnp.any(active & c[0].leaf_done)
 
         def second_body(c):
-            s2, c1_, th1_, lp1_, dep1_, g1_, aux2 = c
+            s2, c1_, th1_, lp1_, dep1_, g1_, bi1_, bs1_, aux2 = c
             if aux2 is not None:
                 # adapt_full: the resolution returns the 6-tuple aux
                 # (estimator states + per-lane NEXT-draw transition
                 # parameters); re-thread exactly as the trip loop would
                 mass, mm_est, iteration, im2, st2, mm2 = aux2
                 aux3 = (mass, mm_est, iteration)
+            elif multiplex:
+                im2, st2, mm2 = s2.act_im, s2.act_step, s2.act_mm
+                aux3 = None
             else:
                 im2, st2, mm2 = inv_mass, step, min_micro
                 aux3 = None
-            s2, c2, th2, lp2, dep2, g2, aux3 = _resolve_pending(
-                s2, active, st2, im2, mm2, block_draws, aux3
+            s2, c2, th2, lp2, dep2, g2, bi2, bs2, aux3 = _resolve_pending(
+                s2, active, st2, im2, mm2, block_draws, aux3,
+                params2=params2,
             )
             # per lane at most one of the two resolutions completes a
             # draw (a lane resolved-and-restarted in the first cannot
@@ -1140,16 +1323,40 @@ def make_batched_sample_block(
                 jnp.where(c2, lp2, lp1_),
                 jnp.where(c2, dep2, dep1_),
                 jnp.where(c2_1, g2, g1_),
+                jnp.where(c2, bi2, bi1_),
+                jnp.where(c2, bs2, bs1_),
                 aux3,
             )
 
-        s, complete, sel_theta, sel_logp, out_depth, sel_grad, aux = (
-            jax.lax.while_loop(
-                second_cond, second_body,
-                (s, c1, th1, lp1, dep1, g1, aux),
-            )
+        (s, complete, sel_theta, sel_logp, out_depth, sel_grad, bank_idx,
+         bank_cslot, aux) = jax.lax.while_loop(
+            second_cond, second_body,
+            (s, c1, th1, lp1, dep1, g1, bi1, bs1, aux),
         )
-        return s, complete, sel_theta, sel_logp, out_depth, sel_grad, aux
+        return (s, complete, sel_theta, sel_logp, out_depth, sel_grad,
+                bank_idx, bank_cslot, aux)
+
+    def _per_chain(state: LaneState):
+        """Multiplex: per-chain (2C,) key/counter views of a lane state —
+        the live machine holds slot ``cslot``, the parked record the
+        other. Chain order matches start_block's (lane c//2, slot c%2)."""
+        kd = jax.random.key_data(state.key)
+        c0 = state.cslot == 0
+
+        def mix(live, parked):
+            m = c0.reshape(c0.shape + (1,) * (live.ndim - c0.ndim))
+            both = jnp.stack(
+                [jnp.where(m, live, parked), jnp.where(m, parked, live)],
+                axis=1,
+            )
+            return both.reshape((both.shape[0] * 2,) + both.shape[2:])
+
+        keys = jax.random.wrap_key_data(
+            mix(kd, state.ot_key), impl=jax.random.key_impl(state.key)
+        )
+        ng = mix(state.n_grads, state.ot_n_grads)
+        fl = jax.tree.map(mix, state.fails, state.ot_fails)
+        return keys, ng, fl
 
     def sample_block(state: LaneState, step, inv_mass, min_micro,
                      max_error, num_draws: int):
@@ -1159,18 +1366,36 @@ def make_batched_sample_block(
         min_micro = jnp.asarray(min_micro, jnp.int32)
         step = jnp.asarray(step, dtype=dtype)
         max_error = jnp.asarray(max_error, dtype=dtype)
-        n_grads0 = state.n_grads
-        fails0 = state.fails
+        if multiplex:
+            # per-chain (2C,) args -> (C, 2) views; per-chain entry
+            # counters reconstructed from the parked/live split
+            params2 = (
+                jnp.broadcast_to(step, (2 * C,)).reshape(C, 2),
+                inv_mass.reshape(C, 2, D),
+                jnp.broadcast_to(
+                    jnp.asarray(min_micro, jnp.int32), (2 * C,)
+                ).reshape(C, 2),
+            )
+            _, ng0_ct, fails0_ct = _per_chain(state)
+        else:
+            params2 = None
+            n_grads0 = state.n_grads
+            fails0 = state.fails
 
-        buf_theta = jnp.zeros((B, C, D), dtype)
-        buf_logp = jnp.full((B, C), -jnp.inf, dtype)
-        buf_depth = jnp.zeros((B, C), jnp.int32)
+        bufC = (C, 2) if multiplex else (C,)
+        buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
+        buf_logp = jnp.full((B,) + bufC, -jnp.inf, dtype)
+        buf_depth = jnp.zeros((B,) + bufC, jnp.int32)
 
         def scan_step(carry, r):
             state, buf_theta, buf_logp, buf_depth, trips = carry
             cap = jnp.minimum(jnp.int32(R), r + B)
 
             def outer_cond(c):
+                if multiplex:
+                    return jnp.any(
+                        jnp.minimum(c[0].draws_done, c[0].ot_draws) <= r
+                    )
                 return jnp.any(c[0].draws_done <= r)
 
             def outer_body(c):
@@ -1193,6 +1418,12 @@ def make_batched_sample_block(
 
                 def inner_body(c2):
                     s, n = c2
+                    if multiplex:
+                        return (
+                            inner_trip(s, active, s.act_step, s.act_im,
+                                       s.act_mm, max_error),
+                            n + 1,
+                        )
                     return (
                         inner_trip(s, active, step, inv_mass, min_micro,
                                    max_error),
@@ -1203,29 +1434,49 @@ def make_batched_sample_block(
                     inner_cond, inner_body, (st, trips[0])
                 )
                 trips = (n_inner, trips[1] + 1)
-                st, complete, sel_theta, sel_logp, out_depth, _, _ = (
-                    leaf_apply(st, active, step, inv_mass, min_micro, R)
-                )
+                if multiplex:
+                    (st, complete, sel_theta, sel_logp, out_depth, _,
+                     bank_idx, bank_cslot, _) = leaf_apply(
+                        st, active, st.act_step, st.act_im, st.act_mm, R,
+                        params2=params2,
+                    )
+                else:
+                    (st, complete, sel_theta, sel_logp, out_depth, _,
+                     bank_idx, bank_cslot, _) = leaf_apply(
+                        st, active, step, inv_mass, min_micro, R
+                    )
                 # bank completed draws (draw index = pre-increment
-                # draws_done). Like the cascade/push loops in leaf_apply,
-                # bounded by the slot range the completing lanes actually
-                # occupy instead of a stacked masked write over all B
-                # buffer rows: completions in one pass cluster within
-                # 1-2 adjacent draws_done values, so the loop touches 1-2
-                # (C, D) rows where the masked write re-wrote B.
-                # Bitwise-identical: the skipped rows received only their
-                # old values.
-                slot = (st.draws_done - 1) % B  # valid where complete
+                # draws_done of the COMPLETING chain). Like the cascade/
+                # push loops in leaf_apply, bounded by the slot range the
+                # completing lanes actually occupy instead of a stacked
+                # masked write over all B buffer rows: completions in one
+                # pass cluster within 1-2 adjacent draw indices, so the
+                # loop touches 1-2 rows where the masked write re-wrote
+                # B. Bitwise-identical: the skipped rows received only
+                # their old values.
+                slot = bank_idx % B  # valid where complete
                 lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
                 hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
+                if multiplex:
+                    # chain-slot mask: the completing chain's buffer cell
+                    mslot = bank_cslot[:, None] == jnp.arange(2)[None, :]
 
                 def bank_body(c):
                     j, bt, bl, bd = c
                     mj = complete & (slot == j)
+                    if multiplex:
+                        mj2 = mj[:, None] & mslot
+                        mth, mlp = mj2[:, :, None], mj2
+                        sth = sel_theta[:, None, :]
+                        slp = sel_logp[:, None]
+                        sdp = out_depth[:, None]
+                    else:
+                        mth, mlp = mj[:, None], mj
+                        sth, slp, sdp = sel_theta, sel_logp, out_depth
                     row = jax.lax.dynamic_index_in_dim(
                         bt, j, axis=0, keepdims=False
                     )
-                    row = jnp.where(mj[:, None], sel_theta, row)
+                    row = jnp.where(mth, sth, row)
                     bt = jax.lax.dynamic_update_index_in_dim(
                         bt, row, j, axis=0
                     )
@@ -1233,13 +1484,13 @@ def make_batched_sample_block(
                         bl, j, axis=0, keepdims=False
                     )
                     bl = jax.lax.dynamic_update_index_in_dim(
-                        bl, jnp.where(mj, sel_logp, lrow), j, axis=0
+                        bl, jnp.where(mlp, slp, lrow), j, axis=0
                     )
                     drow = jax.lax.dynamic_index_in_dim(
                         bd, j, axis=0, keepdims=False
                     )
                     bd = jax.lax.dynamic_update_index_in_dim(
-                        bd, jnp.where(mj, out_depth, drow), j, axis=0
+                        bd, jnp.where(mlp, sdp, drow), j, axis=0
                     )
                     return j + 1, bt, bl, bd
 
@@ -1263,6 +1514,10 @@ def make_batched_sample_block(
             dep = jax.lax.dynamic_index_in_dim(
                 buf_depth, sl, axis=0, keepdims=False
             )
+            if multiplex:  # (C, 2, ...) -> (2C, ...) in chain order
+                draw = draw.reshape(2 * C, D)
+                lp = lp.reshape(2 * C)
+                dep = dep.reshape(2 * C)
             return (
                 (state, buf_theta, buf_logp, buf_depth, trips),
                 (draw, lp, dep),
@@ -1274,6 +1529,18 @@ def make_batched_sample_block(
             (state, buf_theta, buf_logp, buf_depth, trips0),
             jnp.arange(R),
         )
+        if multiplex:
+            keys_ct, ng_ct, fails_ct = _per_chain(state)
+            return BatchedBlockResult(
+                draws=draws, logps=logps, depths=depths,
+                key=keys_ct,
+                n_grads_delta=ng_ct - ng0_ct,
+                fails_delta=jax.tree.map(
+                    lambda a, b: a - b, fails_ct, fails0_ct
+                ),
+                n_inner_trips=trips[0],
+                n_outer_trips=trips[1],
+            )
         return BatchedBlockResult(
             draws=draws, logps=logps, depths=depths,
             key=state.key,
@@ -1342,11 +1609,12 @@ def make_batched_sample_block(
                     inner_cond, inner_body, (st, trips[0])
                 )
                 trips = (n_inner, trips[1] + 1)
-                st, complete, sel_theta, sel_logp, out_depth, _, aux = (
-                    leaf_apply(st, active, step, inv_mass, min_micro, R,
-                               aux=(mass, mm_est, iteration))
+                (st, complete, sel_theta, sel_logp, out_depth, _,
+                 bank_idx, _, aux) = leaf_apply(
+                    st, active, step, inv_mass, min_micro, R,
+                    aux=(mass, mm_est, iteration),
                 )
-                slot = (st.draws_done - 1) % B  # valid where complete
+                slot = bank_idx % B  # valid where complete
                 lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
                 hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
 
