@@ -95,6 +95,10 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         if batched else 1,
         speculate=bool(int(os.environ.get("BENCH_WARMUP_SPEC", 0)))
         and batched,
+        multiplex=bool(int(os.environ.get("BENCH_WARMUP_MULTIPLEX",
+                                          os.environ.get("BENCH_MULTIPLEX",
+                                                         0))))
+        and batched,
     )
     jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0

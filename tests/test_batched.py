@@ -223,11 +223,21 @@ class TestBatchedBitwise:
         )
 
     def test_multiplex_option_validation(self, warmed):
-        lg, scfg = warmed["lg"], warmed["scfg"]
-        with pytest.raises(ValueError, match="adapt_full|warmup"):
-            make_batched_sample_block(
-                lg, scfg.max_trajectory_doublings,
-                scfg.max_step_halvings, multiplex=True, adapt_full=True,
+        """Odd chain counts cannot pair: start_block raises at trace
+        time with a clean ValueError."""
+        lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
+        ss = jax.tree.map(jnp.array, warmed["ss"])
+        odd = jax.tree.map(lambda x: x[:15], ss)
+        params_odd = jax.tree.map(lambda x: x[:15], params)
+        start_block, _ = make_batched_sample_block(
+            lg, scfg.max_trajectory_doublings, scfg.max_step_halvings,
+            multiplex=True,
+        )
+        with pytest.raises(ValueError, match="even chain count"):
+            start_block(
+                odd.key, odd.theta, odd.n_grads, odd.fails,
+                params_odd.step_size, params_odd.inv_mass,
+                params_odd.min_micro,
             )
 
     @pytest.mark.parametrize("B,K", [(8, 6), (4, 12)])
@@ -597,6 +607,35 @@ class TestBatchedRuntime:
         )
         np.testing.assert_array_equal(
             np.asarray(pb.min_micro), np.asarray(ps.min_micro)
+        )
+
+        # multiplexed warmup (two chains per lane, full adaptation-state
+        # swap at switches): keys/ints bitwise and — measured — the
+        # adapted floats and draws bitwise too on this program (the
+        # estimator arithmetic runs on the same materialised carries)
+        ws_m, dmx, lmx, _ = run_warmup(
+            lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
+            multiplex=True,
+        )
+        np.testing.assert_array_equal(
+            jax.random.key_data(ws_b.key), jax.random.key_data(ws_m.key)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ws_b.iteration), np.asarray(ws_m.iteration)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ws_b.n_grads), np.asarray(ws_m.n_grads)
+        )
+        np.testing.assert_allclose(db, dmx, rtol=1e-9, atol=1e-9)
+        pm = jax.vmap(freeze_params)(ws_m)
+        np.testing.assert_allclose(
+            np.asarray(pb.step_size), np.asarray(pm.step_size), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(pb.inv_mass), np.asarray(pm.inv_mass), rtol=1e-9
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pb.min_micro), np.asarray(pm.min_micro)
         )
 
         for kw in (dict(runahead=1), dict(batched_groups=2)):

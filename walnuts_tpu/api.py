@@ -162,8 +162,9 @@ def walnuts(
       per-lane work approaches the PAIR-mean cost and the batch-max
       padding floor (3.9x lane-total heterogeneity on the funnel)
       shrinks, at half the per-trip row traffic per chain. Requires an
-      even ``num_chains``; sampling only (warmup runs one chain per
-      lane). Schedule/keys/counters are bitwise the one-chain-per-lane
+      even ``num_chains``; applies to BOTH phases (the asynchronous
+      warmup parks the sibling's full adaptation state and swaps it in
+      at switches). Schedule/keys/counters are bitwise the one-chain-per-lane
       scheduler's; draw floats are eager-exact and drift ~1 ulp under
       jit (the active chain's step/inv_mass become loop carries, which
       changes XLA's leapfrog contraction — the ``fresh_cur`` class).
@@ -435,6 +436,7 @@ def walnuts(
                 batched_groups=batched_groups if batched else 1,
                 tier2_every=tier2_every,
                 speculate=speculate and batched,
+                multiplex=multiplex and batched,
             )
             if ckpt is not None and start_warmup and save_warmup:
                 prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)

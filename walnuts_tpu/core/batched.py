@@ -74,6 +74,9 @@ import jax.numpy as jnp
 
 from walnuts_tpu.core.adapt import (
     AdamState,
+    MassEstimatorState,
+    MinMicroState,
+    OnlineMomentsState,
     adam_init,
     adam_step_size,
     adam_update,
@@ -181,10 +184,19 @@ class LaneState(NamedTuple):
     ot_n_grads: Array      # (C,) int32
     ot_fails: FailStats
     # active chain's transition parameters (written at switches only;
-    # the trip reads these instead of the block args under multiplex)
+    # the trip reads these instead of the block args under multiplex
+    # sampling; the asynchronous warmup derives them from the adaptation
+    # instead and carries them in aux)
     act_step: Array        # (C,)
     act_im: Array          # (C, D)
     act_mm: Array          # (C,) int32
+    # parked sibling's adaptation state (multiplex + adapt_full only;
+    # shape-(0,) dummies otherwise) — swapped with the active chain's
+    # estimator/Adam states at switches
+    ot_mass: MassEstimatorState
+    ot_mm_est: MinMicroState
+    ot_adam: AdamState
+    ot_iter: Array         # (C,) int32
     # --- step-size adaptation (warmup only; a frozen dummy when
     # sampling — a handful of (C,) scalars, negligible carry cost) ---
     adam: AdamState
@@ -346,10 +358,6 @@ def make_batched_sample_block(
     order), at half the lanes per trip. The parked chain costs 2 (C, D)
     rows of carry (position + cached gradient) written only at switches.
     """
-    if multiplex and adapt_full:
-        raise ValueError("multiplex=True is not yet supported for the "
-                         "asynchronous warmup (adapt_full); multiplex "
-                         "applies to fixed-parameter sampling")
     if speculate and not defer_splits:
         raise ValueError("speculate=True requires defer_splits=True "
                          "(the rollback truncates the deferred-split "
@@ -399,15 +407,10 @@ def make_batched_sample_block(
         e_dtype = jnp.bfloat16 if bf16_ends else dtype
         C, D = theta.shape
         if parked is None:
-            z0 = jnp.zeros((0,))
-            zi = jnp.zeros((0,), jnp.int32)
-            parked = (
-                jnp.zeros((C,), jnp.int32), z0, z0, z0,
-                jnp.zeros((0,), jnp.uint32), zi, zi,
-                FailStats(zi, zi, zi), z0, z0, zi,
-            )
+            parked = _dummy_parked(C)
         (cslot, ot_theta, ot_grad, ot_logp, ot_key, ot_draws,
-         ot_n_grads, ot_fails, act_step, act_im, act_mm) = parked
+         ot_n_grads, ot_fails, act_step, act_im, act_mm,
+         ot_mass, ot_mm_est, ot_adam, ot_iter) = parked
         knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
             key, theta, logp0, grad0, step, inv_mass
         )
@@ -462,6 +465,8 @@ def make_batched_sample_block(
             ot_logp=ot_logp, ot_key=ot_key, ot_draws=ot_draws,
             ot_n_grads=ot_n_grads, ot_fails=ot_fails,
             act_step=act_step, act_im=act_im, act_mm=act_mm,
+            ot_mass=ot_mass, ot_mm_est=ot_mm_est, ot_adam=ot_adam,
+            ot_iter=ot_iter,
             adam=adam,
             n_grads=n_grads,
             fails=fails,
@@ -502,12 +507,14 @@ def make_batched_sample_block(
             kd2[:, 0], impl=jax.random.key_impl(key)
         )
         adam0 = jax.vmap(lambda s: adam_init(s, dtype=dtype))(st2[:, 0])
+        dm = _dummy_parked(C)
         parked = (
             jnp.zeros((C,), jnp.int32),          # cslot
             th2[:, 1], gr2[:, 1], lp2[:, 1], kd2[:, 1],
             jnp.zeros((C,), jnp.int32),          # ot_draws
             ng2[:, 1], jax.tree.map(lambda x: x[:, 1], fl2),
             st2[:, 0], im2[:, 0], mm2[:, 0],     # act_* (slot 0)
+            dm[11], dm[12], dm[13], dm[14],      # adapt dummies (sampling)
         )
         return _lane_state(key0, th2[:, 0], lp2[:, 0], gr2[:, 0],
                            st2[:, 0], im2[:, 0], mm2[:, 0], adam0,
@@ -994,7 +1001,6 @@ def make_batched_sample_block(
             # restart — a lane that completes its final draw without a
             # runnable sibling keeps the completing chain live (its key
             # stays the classic end-of-draw key for reconstruction).
-            step2, im2, mm2 = params2
             switch = complete & (s.ot_draws < new_draws_done)
             sw1 = switch[:, None]
             # the completing chain's park record; counters fold in this
@@ -1033,22 +1039,32 @@ def make_batched_sample_block(
                 lambda a, b: jnp.where(switch, a, b),
                 fails_park, s.ot_fails,
             )
-            # the target chain's transition parameters (cslot_t row of
-            # the (C, 2)-shaped block args)
-            other = (1 - s.cslot)[:, None]
-            act_step_t = jnp.where(
-                switch, jnp.take_along_axis(step2, other, axis=1)[:, 0],
-                s.act_step,
-            )
-            act_im_t = jnp.where(
-                sw1,
-                jnp.take_along_axis(im2, other[:, :, None], axis=1)[:, 0],
-                s.act_im,
-            )
-            act_mm_t = jnp.where(
-                switch, jnp.take_along_axis(mm2, other, axis=1)[:, 0],
-                s.act_mm,
-            )
+            if not adapt_full:
+                # the target chain's transition parameters (the other
+                # slot's rows of the (C, 2)-shaped block args; the
+                # asynchronous warmup derives them from the target's
+                # adaptation state below instead)
+                step2, im2, mm2 = params2
+                other = (1 - s.cslot)[:, None]
+                act_step_t = jnp.where(
+                    switch,
+                    jnp.take_along_axis(step2, other, axis=1)[:, 0],
+                    s.act_step,
+                )
+                act_im_t = jnp.where(
+                    sw1,
+                    jnp.take_along_axis(im2, other[:, :, None],
+                                        axis=1)[:, 0],
+                    s.act_im,
+                )
+                act_mm_t = jnp.where(
+                    switch, jnp.take_along_axis(mm2, other, axis=1)[:, 0],
+                    s.act_mm,
+                )
+            else:
+                act_step_t, act_im_t, act_mm_t = (
+                    s.act_step, s.act_im, s.act_mm
+                )
             restart = complete & (draws_t < block_draws)
         else:
             tgt_theta, tgt_logp, tgt_grad = sel_theta, sel_logp, sel_grad
@@ -1085,6 +1101,26 @@ def make_batched_sample_block(
                 mm_obs, mm_est,
             )
             iteration = iteration + complete.astype(jnp.int32)
+            if multiplex:
+                # a switch hands the machine to the sibling chain: its
+                # adaptation state (estimators, Adam, iteration) swaps in
+                # and the completing chain's (post-observe) parks — the
+                # *_next derivations below then read the TARGET's states,
+                # exactly as that chain's own restart would
+                def _swap(a, b):
+                    return (
+                        jax.tree.map(
+                            lambda x, y: _where_lane(switch, y, x), a, b
+                        ),
+                        jax.tree.map(
+                            lambda x, y: _where_lane(switch, x, y), a, b
+                        ),
+                    )
+
+                mass, ot_mass_t = _swap(mass, s.ot_mass)
+                mm_est, ot_mm_est_t = _swap(mm_est, s.ot_mm_est)
+                adam_eff, ot_adam_t = _swap(adam_eff, s.ot_adam)
+                iteration, ot_iter_t = _swap(iteration, s.ot_iter)
             step_next = jnp.where(restart, adam_step_size(adam_eff), step)
             inv_mass_next = jnp.where(
                 restart[:, None],
@@ -1202,6 +1238,11 @@ def make_batched_sample_block(
                 act_step=act_step_t, act_im=act_im_t, act_mm=act_mm_t,
                 fails=fails_t,
             )
+            if adapt_full:
+                mux.update(
+                    ot_mass=ot_mass_t, ot_mm_est=ot_mm_est_t,
+                    ot_adam=ot_adam_t, ot_iter=ot_iter_t,
+                )
         else:
             mux = dict(fails=fails_eff._replace(
                 n_depth_exhausted=fails_eff.n_depth_exhausted
@@ -1336,26 +1377,31 @@ def make_batched_sample_block(
         return (s, complete, sel_theta, sel_logp, out_depth, sel_grad,
                 bank_idx, bank_cslot, aux)
 
-    def _per_chain(state: LaneState):
-        """Multiplex: per-chain (2C,) key/counter views of a lane state —
+    def _mix_slots(state: LaneState, live, parked):
+        """Multiplex: interleave a live (active-chain, lane-shaped)
+        pytree with its parked counterpart into per-chain (2C,) order —
         the live machine holds slot ``cslot``, the parked record the
         other. Chain order matches start_block's (lane c//2, slot c%2)."""
-        kd = jax.random.key_data(state.key)
         c0 = state.cslot == 0
 
-        def mix(live, parked):
-            m = c0.reshape(c0.shape + (1,) * (live.ndim - c0.ndim))
+        def mix(a, b):
+            m = c0.reshape(c0.shape + (1,) * (a.ndim - c0.ndim))
             both = jnp.stack(
-                [jnp.where(m, live, parked), jnp.where(m, parked, live)],
-                axis=1,
+                [jnp.where(m, a, b), jnp.where(m, b, a)], axis=1
             )
             return both.reshape((both.shape[0] * 2,) + both.shape[2:])
 
+        return jax.tree.map(mix, live, parked)
+
+    def _per_chain(state: LaneState):
+        """Multiplex: per-chain (2C,) key/counter views of a lane state."""
+        kd = jax.random.key_data(state.key)
         keys = jax.random.wrap_key_data(
-            mix(kd, state.ot_key), impl=jax.random.key_impl(state.key)
+            _mix_slots(state, kd, state.ot_key),
+            impl=jax.random.key_impl(state.key),
         )
-        ng = mix(state.n_grads, state.ot_n_grads)
-        fl = jax.tree.map(mix, state.fails, state.ot_fails)
+        ng = _mix_slots(state, state.n_grads, state.ot_n_grads)
+        fl = _mix_slots(state, state.fails, state.ot_fails)
         return keys, ng, fl
 
     def sample_block(state: LaneState, step, inv_mass, min_micro,
@@ -1571,18 +1617,26 @@ def make_batched_sample_block(
         dtype = state.ms_joint.dtype
         C, D = state.run_sel.shape
         max_error = jnp.asarray(max_error, dtype=dtype)
-        n_grads0 = state.n_grads
-        fails0 = state.fails
+        if multiplex:
+            _, n_grads0, fails0 = _per_chain(state)
+        else:
+            n_grads0 = state.n_grads
+            fails0 = state.fails
 
-        buf_theta = jnp.zeros((B, C, D), dtype)
-        buf_logp = jnp.full((B, C), -jnp.inf, dtype)
-        buf_depth = jnp.zeros((B, C), jnp.int32)
+        bufC = (C, 2) if multiplex else (C,)
+        buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
+        buf_logp = jnp.full((B,) + bufC, -jnp.inf, dtype)
+        buf_depth = jnp.zeros((B,) + bufC, jnp.int32)
 
         def scan_step(carry, r):
             state, aux, buf_theta, buf_logp, buf_depth, trips = carry
             cap = jnp.minimum(jnp.int32(R), r + B)
 
             def outer_cond(c):
+                if multiplex:
+                    return jnp.any(
+                        jnp.minimum(c[0].draws_done, c[0].ot_draws) <= r
+                    )
                 return jnp.any(c[0].draws_done <= r)
 
             def outer_body(c):
@@ -1610,21 +1664,32 @@ def make_batched_sample_block(
                 )
                 trips = (n_inner, trips[1] + 1)
                 (st, complete, sel_theta, sel_logp, out_depth, _,
-                 bank_idx, _, aux) = leaf_apply(
+                 bank_idx, bank_cslot, aux) = leaf_apply(
                     st, active, step, inv_mass, min_micro, R,
                     aux=(mass, mm_est, iteration),
                 )
                 slot = bank_idx % B  # valid where complete
                 lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
                 hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
+                if multiplex:
+                    mslot = bank_cslot[:, None] == jnp.arange(2)[None, :]
 
                 def bank_body(c):
                     j, bt, bl, bd = c
                     mj = complete & (slot == j)
+                    if multiplex:
+                        mj2 = mj[:, None] & mslot
+                        mth, mlp = mj2[:, :, None], mj2
+                        sth = sel_theta[:, None, :]
+                        slp = sel_logp[:, None]
+                        sdp = out_depth[:, None]
+                    else:
+                        mth, mlp = mj[:, None], mj
+                        sth, slp, sdp = sel_theta, sel_logp, out_depth
                     row = jax.lax.dynamic_index_in_dim(
                         bt, j, axis=0, keepdims=False
                     )
-                    row = jnp.where(mj[:, None], sel_theta, row)
+                    row = jnp.where(mth, sth, row)
                     bt = jax.lax.dynamic_update_index_in_dim(
                         bt, row, j, axis=0
                     )
@@ -1632,13 +1697,13 @@ def make_batched_sample_block(
                         bl, j, axis=0, keepdims=False
                     )
                     bl = jax.lax.dynamic_update_index_in_dim(
-                        bl, jnp.where(mj, sel_logp, lrow), j, axis=0
+                        bl, jnp.where(mlp, slp, lrow), j, axis=0
                     )
                     drow = jax.lax.dynamic_index_in_dim(
                         bd, j, axis=0, keepdims=False
                     )
                     bd = jax.lax.dynamic_update_index_in_dim(
-                        bd, jnp.where(mj, out_depth, drow), j, axis=0
+                        bd, jnp.where(mlp, sdp, drow), j, axis=0
                     )
                     return j + 1, bt, bl, bd
 
@@ -1662,6 +1727,10 @@ def make_batched_sample_block(
             dep = jax.lax.dynamic_index_in_dim(
                 buf_depth, sl, axis=0, keepdims=False
             )
+            if multiplex:  # (C, 2, ...) -> (2C, ...) in chain order
+                draw = draw.reshape(2 * C, D)
+                lp = lp.reshape(2 * C)
+                dep = dep.reshape(2 * C)
             return (
                 (state, aux, buf_theta, buf_logp, buf_depth, trips),
                 (draw, lp, dep),
@@ -1675,10 +1744,13 @@ def make_batched_sample_block(
         )
         return BatchedBlockResult(
             draws=draws, logps=logps, depths=depths,
-            key=state.key,
-            n_grads_delta=state.n_grads - n_grads0,
+            key=_per_chain(state)[0] if multiplex else state.key,
+            n_grads_delta=(_per_chain(state)[1] - n_grads0
+                           if multiplex else state.n_grads - n_grads0),
             fails_delta=jax.tree.map(
-                lambda a, b: a - b, state.fails, fails0
+                lambda a, b: a - b,
+                _per_chain(state)[2] if multiplex else state.fails,
+                fails0,
             ),
             n_inner_trips=trips[0],
             n_outer_trips=trips[1],
@@ -1690,6 +1762,8 @@ def make_batched_sample_block(
     sample_block.leaf_apply = leaf_apply
     sample_block.start_block_cached = start_block_cached
     sample_block.adapt = sample_block_adapt if adapt_full else None
+    sample_block.per_chain = _per_chain
+    sample_block.mix_slots = _mix_slots
     return start_block, sample_block
 
 
@@ -1697,7 +1771,8 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
                               pallas_replay: bool = False,
                               runahead: int = 4,
                               tier2_every: int = 6,
-                              speculate: bool = False):
+                              speculate: bool = False,
+                              multiplex: bool = False):
     """Batched-native ADAPTIVE WARMUP block — asynchronous per lane.
 
     The warmup adaptation dependency ("every draw's transition reads
@@ -1744,6 +1819,7 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
         pallas_replay=pallas_replay,
         adapt_full=True,
         speculate=speculate,
+        multiplex=multiplex,
     )
     block_adapt = sample_block.adapt
     max_error = sampling_cfg.max_hamiltonian_error
@@ -1751,34 +1827,98 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
     def warmup_block(ws: WarmupState, n: int):
         dtype = ws.theta.dtype
         # one fresh evaluation per BLOCK (counted); within the block the
-        # selected state's logp/grad ride the lane state
+        # selected state's logp/grad ride the lane state. Under multiplex
+        # it runs as one 2C batch (bitwise the one-per-lane program's),
+        # then slot 0 mounts the machine and slot 1 parks with its full
+        # adaptation state.
         logp0, grad0 = jax.vmap(logp_grad)(ws.theta)
         inv_mass = jax.vmap(mass_estimator_inv_mass)(ws.mass)
         step = adam_step_size(ws.adam)
         min_micro = jax.vmap(min_micro_estimate)(ws.min_micro)
-        st = sample_block.start_block_cached(
-            ws.key, ws.theta, logp0, grad0, step, inv_mass, min_micro,
-            ws.adam, ws.n_grads + 1, ws.fails,
-        )
-        aux = (ws.mass, ws.min_micro, ws.iteration,
-               inv_mass, step, min_micro)
+        if not multiplex:
+            st = sample_block.start_block_cached(
+                ws.key, ws.theta, logp0, grad0, step, inv_mass, min_micro,
+                ws.adam, ws.n_grads + 1, ws.fails,
+            )
+            aux = (ws.mass, ws.min_micro, ws.iteration,
+                   inv_mass, step, min_micro)
+        else:
+            CT = ws.theta.shape[0]
+            if CT % 2:
+                raise ValueError(
+                    "multiplex=True needs an even chain count"
+                )
+            C = CT // 2
+
+            def sl(x):
+                return x.reshape((C, 2) + x.shape[1:])
+
+            s0 = jax.tree.map(lambda x: sl(x)[:, 0], ws)
+            s1 = jax.tree.map(lambda x: sl(x)[:, 1], ws)
+            dm = _dummy_parked(C)
+            parked = (
+                jnp.zeros((C,), jnp.int32),              # cslot
+                sl(ws.theta)[:, 1], sl(grad0)[:, 1], sl(logp0)[:, 1],
+                sl(jax.random.key_data(ws.key))[:, 1],
+                jnp.zeros((C,), jnp.int32),              # ot_draws
+                s1.n_grads + 1, s1.fails,
+                dm[8], dm[9], dm[10],                    # act_* dummies
+                s1.mass, s1.min_micro, s1.adam, s1.iteration,
+            )
+            st = sample_block.start_block_cached(
+                s0.key, sl(ws.theta)[:, 0], sl(logp0)[:, 0],
+                sl(grad0)[:, 0], sl(step)[:, 0], sl(inv_mass)[:, 0],
+                sl(min_micro)[:, 0], s0.adam, s0.n_grads + 1, s0.fails,
+                parked,
+            )
+            aux = (s0.mass, s0.min_micro, s0.iteration,
+                   sl(inv_mass)[:, 0], sl(step)[:, 0],
+                   sl(min_micro)[:, 0])
         res, st, aux = block_adapt(
             st, aux, jnp.asarray(max_error, dtype), int(n)
         )
         mass, mm_est, iteration, *_ = aux
+        if multiplex:
+            # interleave the live (active-chain) and parked adaptation
+            # states back into per-chain order
+            mix = sample_block.mix_slots
+            mass = mix(st, mass, st.ot_mass)
+            mm_est = mix(st, mm_est, st.ot_mm_est)
+            adam = mix(st, st.adam, st.ot_adam)
+            iteration = mix(st, iteration, st.ot_iter)
+            _, n_grads, fails = sample_block.per_chain(st)
+        else:
+            adam, n_grads, fails = st.adam, st.n_grads, st.fails
         ws = WarmupState(
             key=res.key,
             theta=res.draws[-1],
-            adam=st.adam,
+            adam=adam,
             mass=mass,
             min_micro=mm_est,
             iteration=iteration,
-            n_grads=st.n_grads,
-            fails=st.fails,
+            n_grads=n_grads,
+            fails=fails,
         )
         return ws, (res.draws, res.logps)
 
     return warmup_block
+
+
+def _dummy_parked(C):
+    """Placeholder parked-slot record for non-multiplexed lane states
+    (shape-(0,) leaves; ``cslot`` keeps lane shape for uniformity)."""
+    z0 = jnp.zeros((0,))
+    zi = jnp.zeros((0,), jnp.int32)
+    om = OnlineMomentsState(z0, z0, z0)
+    return (
+        jnp.zeros((C,), jnp.int32), z0, z0, z0,
+        jnp.zeros((0,), jnp.uint32), zi, zi,
+        FailStats(zi, zi, zi), z0, z0, zi,
+        MassEstimatorState(om, om, z0),
+        MinMicroState(z0, z0, z0, z0),
+        AdamState(*([z0] * 12)),
+        zi,
+    )
 
 
 def _where_lane(pred, new, old):

@@ -141,6 +141,7 @@ def run_warmup(
     tier2_every: int = 6,
     batched_groups: int = 1,
     speculate: bool = False,
+    multiplex: bool = False,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -176,6 +177,10 @@ def run_warmup(
         )
     if batched_groups > 1 and not batched:
         raise ValueError("batched_groups > 1 requires batched=True")
+    if multiplex and not batched:
+        raise ValueError("multiplex requires batched=True")
+    if multiplex and batched_groups > 1:
+        raise ValueError("multiplex is incompatible with batched_groups")
     if batched:
         if integrator is not None:
             raise ValueError(
@@ -190,7 +195,7 @@ def run_warmup(
         warmup_block = make_batched_warmup_block(
             logp_grad, sampling_cfg, pallas_replay=pallas_replay,
             runahead=runahead, tier2_every=tier2_every,
-            speculate=speculate,
+            speculate=speculate, multiplex=multiplex,
         )
 
         @partial(jax.jit, static_argnums=1, donate_argnums=0)
