@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.abspath("../.."))
 
 project = "walnuts-tpu"
 author = "walnuts-tpu developers"
-release = "0.1.0"
+release = "0.2.0"
 
 extensions = [
     "sphinx.ext.autodoc",
