@@ -78,7 +78,7 @@ def warmed():
 
 def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
                 defer_splits=True, pallas_replay=False, fresh_cur=False,
-                speculate=False, multiplex=False):
+                speculate=False, multiplex=False, bounded_sweeps=None):
     lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
     ss = jax.tree.map(jnp.array, warmed["ss"])
     start_block, sample_block = make_batched_sample_block(
@@ -93,6 +93,7 @@ def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
         fresh_cur=fresh_cur,
         speculate=speculate,
         multiplex=multiplex,
+        bounded_sweeps=bounded_sweeps,
     )
 
     @jax.jit
@@ -126,6 +127,22 @@ class TestBatchedBitwise:
         np.testing.assert_array_equal(dep, np.asarray(res.depths))
         # end-of-block keys identical -> the NEXT block (classic or
         # batched) continues the same stream
+        np.testing.assert_array_equal(
+            key_data, np.asarray(jax.random.key_data(res.key))
+        )
+
+    @pytest.mark.parametrize("bounded", [False, True])
+    def test_bounded_sweeps_bitwise_equal_classic(self, warmed, bounded):
+        """Both tier-2 sweep forms (static fused sweeps vs batch-max-
+        bounded while loops — picked by row width at trace time,
+        ``_use_bounded``) emit classic-bitwise draws. The explicit
+        override exercises the form the low-dim test model's auto rule
+        would not pick."""
+        th, lp, dep, key_data, _ = warmed["classic"]
+        res = run_batched(warmed, 8, 6, bounded_sweeps=bounded)
+        np.testing.assert_array_equal(th, np.asarray(res.draws))
+        np.testing.assert_array_equal(lp, np.asarray(res.logps))
+        np.testing.assert_array_equal(dep, np.asarray(res.depths))
         np.testing.assert_array_equal(
             key_data, np.asarray(jax.random.key_data(res.key))
         )
@@ -178,8 +195,14 @@ class TestBatchedBitwise:
                 pallas_replay=True,
             )
 
-    @pytest.mark.parametrize("spec", [False, True])
-    def test_multiplex_schedule_bitwise(self, warmed, spec):
+    @pytest.mark.parametrize(
+        "spec,bounded",
+        # bounded covers the multiplexed (C, 2)-celled banking write in
+        # BOTH sweep forms (the static form indexes an extra chain-slot
+        # axis)
+        [(False, None), (True, None), (False, True), (False, False)],
+    )
+    def test_multiplex_schedule_bitwise(self, warmed, spec, bounded):
         """Chain multiplexing (two chains per lane, switching at draw
         boundaries) is the same per-chain Markov schedule: keys, depths,
         gradient counts, and fail counters are bitwise the
@@ -189,7 +212,8 @@ class TestBatchedBitwise:
         contraction — the fresh_cur class; eager bitwise is pinned by
         test_multiplex_exact_logic_eager)."""
         th, lp, dep, key_data, _ = warmed["classic"]
-        res = run_batched(warmed, 8, 4, multiplex=True, speculate=spec)
+        res = run_batched(warmed, 8, 4, multiplex=True, speculate=spec,
+                          bounded_sweeps=bounded)
         np.testing.assert_array_equal(dep, np.asarray(res.depths))
         np.testing.assert_array_equal(
             key_data, np.asarray(jax.random.key_data(res.key))

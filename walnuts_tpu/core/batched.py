@@ -67,7 +67,7 @@ unchanged).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -237,6 +237,7 @@ def make_batched_sample_block(
     adapt_full: bool = False,
     speculate: bool = False,
     multiplex: bool = False,
+    bounded_sweeps: Optional[bool] = None,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -372,6 +373,24 @@ def make_batched_sample_block(
     B = max(int(runahead), 1)
     K = int(tier2_every)
     T = int(min_latched)
+
+    def _use_bounded(D: int) -> bool:
+        """Pick the tier-2 slot-sweep implementation at trace time.
+
+        The cascade / stack-push / banking writes come in two
+        bitwise-equal forms: STATIC (fully unrolled masked sweeps over
+        all slot rows — fuses into one kernel) and BOUNDED
+        (``lax.while_loop``s over the batch-max occupied slot — touches
+        1-2 rows but serializes). Measured on v5e (2026-08-18, same
+        session, 400 draws): funnel(101) x 4096 static 6.3 s vs bounded
+        7.8 s (the loop overhead dominates narrow rows), SV(1003) x 1024
+        static 51.4 s vs bounded 38.8 s (row traffic dominates wide
+        rows). Auto rule: bounded iff the row width D >= 512;
+        ``bounded_sweeps`` overrides.
+        """
+        if bounded_sweeps is not None:
+            return bool(bounded_sweeps)
+        return D >= 512
 
     vsplit = jax.vmap(lambda k: jax.random.split(k))
     vsplit3 = jax.vmap(lambda k: jax.random.split(k, 3))
@@ -763,34 +782,45 @@ def make_batched_sample_block(
             )
 
         # merge cascade: sub-U-turn checks against the stacked older-side
-        # endpoints (build_span, walnuts.hpp:490-494). The loop is bounded
-        # by the BATCH-max merge count instead of statically unrolled over
-        # all n_slots: a leaf's merge count is the trailing-zero count of
-        # its 1-based index, so the batch max is almost always 0-2 while
-        # the static unroll paid n_slots (= max_depth-1) full row sweeps
-        # of stack reads + cur_end selects per pass. Scheduling-only: the
-        # skipped iterations were no-ops for every lane (do=False), so
-        # cur_end/ok — and the draws — are bitwise unchanged.
+        # endpoints (build_span, walnuts.hpp:490-494). Two bitwise-equal
+        # forms picked by row width (_use_bounded): the BOUNDED
+        # lax.while_loop over the batch-max merge count (a leaf's merge
+        # count is the trailing-zero count of its 1-based index, so the
+        # batch max is almost always 0-2 — saves the n_slots full row
+        # sweeps on wide rows) vs the STATIC unroll (fuses into one
+        # kernel — wins on narrow rows where the loop's serialization
+        # overhead exceeds the skipped row traffic). Scheduling-only
+        # either way: skipped iterations are all-lane no-ops (do=False).
         n_merges = count_trailing_zeros(s.leaf_idx + 1)
-        max_m = jnp.minimum(
-            jnp.max(jnp.where(leaf_ok, n_merges, 0)), jnp.int32(n_slots)
-        )
+        if _use_bounded(s.run_sel.shape[-1]):
+            max_m = jnp.minimum(
+                jnp.max(jnp.where(leaf_ok, n_merges, 0)), jnp.int32(n_slots)
+            )
 
-        def _cascade_body(c):
-            i, cur_end, ok = c
-            do = leaf_ok & (i < n_merges) & ok
-            slot = jax.lax.dynamic_index_in_dim(
-                s.stack_e, i, axis=1, keepdims=False
-            ).astype(dtype)
-            ut = uturn_end(slot[:, 0], slot[:, 1])
-            cur_end = jnp.where(do[:, None, None], slot, cur_end)
-            ok = ok & ~(do & ut)
-            return i + 1, cur_end, ok
+            def _cascade_body(c):
+                i, cur_end, ok = c
+                do = leaf_ok & (i < n_merges) & ok
+                slot = jax.lax.dynamic_index_in_dim(
+                    s.stack_e, i, axis=1, keepdims=False
+                ).astype(dtype)
+                ut = uturn_end(slot[:, 0], slot[:, 1])
+                cur_end = jnp.where(do[:, None, None], slot, cur_end)
+                ok = ok & ~(do & ut)
+                return i + 1, cur_end, ok
 
-        _, cur_end, ok = jax.lax.while_loop(
-            lambda c: c[0] < max_m, _cascade_body,
-            (jnp.int32(0), fwd[:, :2], jnp.ones_like(leaf_ok)),
-        )
+            _, cur_end, ok = jax.lax.while_loop(
+                lambda c: c[0] < max_m, _cascade_body,
+                (jnp.int32(0), fwd[:, :2], jnp.ones_like(leaf_ok)),
+            )
+        else:
+            cur_end = fwd[:, :2]
+            ok = jnp.ones_like(leaf_ok)
+            for i in range(n_slots):
+                do = leaf_ok & (i < n_merges) & ok
+                slot = s.stack_e[:, i].astype(dtype)
+                ut = uturn_end(slot[:, 0], slot[:, 1])
+                cur_end = jnp.where(do[:, None, None], slot, cur_end)
+                ok = ok & ~(do & ut)
         sub_uturn = leaf_ok & ~ok
         leaf_ok = leaf_ok & ok
 
@@ -908,28 +938,38 @@ def make_batched_sample_block(
         new_leaf_idx = s.leaf_idx + 1
         subtree_done = leaf_ok & (new_leaf_idx >= s.n_leaves)
         push = leaf_ok & ~subtree_done
-        # stack push: lane i writes slot n_merges[i]. Like the cascade,
-        # bounded by the batch-max write slot instead of a full-tensor
-        # masked select over all n_slots (which re-wrote every stack row
-        # every pass); each loop iteration touches ONE slot in place.
+        # stack push: lane i writes slot n_merges[i]. Same static/bounded
+        # split as the cascade (see _use_bounded): bounded touches one
+        # slot row per iteration up to the batch-max write slot; static
+        # is one fused masked select over all n_slots rows.
         cur_end_e = cur_end.astype(s.stack_e.dtype)
-        max_w = jnp.max(jnp.where(push, n_merges, -1))
+        if _use_bounded(s.run_sel.shape[-1]):
+            max_w = jnp.max(jnp.where(push, n_merges, -1))
 
-        def _push_body(c):
-            j, stack_e = c
-            old = jax.lax.dynamic_index_in_dim(
-                stack_e, j, axis=1, keepdims=False
-            )
-            new = jnp.where(
-                (push & (n_merges == j))[:, None, None], cur_end_e, old
-            )
-            return j + 1, jax.lax.dynamic_update_index_in_dim(
-                stack_e, new, j, axis=1
-            )
+            def _push_body(c):
+                j, stack_e = c
+                old = jax.lax.dynamic_index_in_dim(
+                    stack_e, j, axis=1, keepdims=False
+                )
+                new = jnp.where(
+                    (push & (n_merges == j))[:, None, None], cur_end_e, old
+                )
+                return j + 1, jax.lax.dynamic_update_index_in_dim(
+                    stack_e, new, j, axis=1
+                )
 
-        _, stack_e = jax.lax.while_loop(
-            lambda c: c[0] <= max_w, _push_body, (jnp.int32(0), s.stack_e)
-        )
+            _, stack_e = jax.lax.while_loop(
+                lambda c: c[0] <= max_w, _push_body,
+                (jnp.int32(0), s.stack_e)
+            )
+        else:
+            write_mask = push[:, None] & (
+                n_merges[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, n_slots), 1)
+            )  # (C, n_slots)
+            stack_e = jnp.where(
+                write_mask[:, :, None, None], cur_end_e[:, None], s.stack_e
+            )
 
         # reservoir (streaming Barker; see transition.py module docstring)
         run_logw_new = log_sum_exp(s.run_logw, fwd_joint)
@@ -1492,57 +1532,72 @@ def make_batched_sample_block(
                         st, active, step, inv_mass, min_micro, R
                     )
                 # bank completed draws (draw index = pre-increment
-                # draws_done of the COMPLETING chain). Like the cascade/
-                # push loops in leaf_apply, bounded by the slot range the
-                # completing lanes actually occupy instead of a stacked
-                # masked write over all B buffer rows: completions in one
-                # pass cluster within 1-2 adjacent draw indices, so the
-                # loop touches 1-2 rows where the masked write re-wrote
-                # B. Bitwise-identical: the skipped rows received only
-                # their old values.
+                # draws_done of the COMPLETING chain). Same static/
+                # bounded split as the tier-2 sweeps (_use_bounded):
+                # bounded loops over the slot range the completing lanes
+                # occupy (1-2 adjacent rows; saves ~(B-2) row writes on
+                # wide rows); static is one fused masked write over all
+                # B buffer rows. Bitwise-identical either way.
                 slot = bank_idx % B  # valid where complete
-                lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
-                hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
                 if multiplex:
                     # chain-slot mask: the completing chain's buffer cell
                     mslot = bank_cslot[:, None] == jnp.arange(2)[None, :]
+                if _use_bounded(sel_theta.shape[-1]):
+                    lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
+                    hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
 
-                def bank_body(c):
-                    j, bt, bl, bd = c
-                    mj = complete & (slot == j)
+                    def bank_body(c):
+                        j, bt, bl, bd = c
+                        mj = complete & (slot == j)
+                        if multiplex:
+                            mj2 = mj[:, None] & mslot
+                            mth, mlp = mj2[:, :, None], mj2
+                            sth = sel_theta[:, None, :]
+                            slp = sel_logp[:, None]
+                            sdp = out_depth[:, None]
+                        else:
+                            mth, mlp = mj[:, None], mj
+                            sth, slp, sdp = sel_theta, sel_logp, out_depth
+                        row = jax.lax.dynamic_index_in_dim(
+                            bt, j, axis=0, keepdims=False
+                        )
+                        row = jnp.where(mth, sth, row)
+                        bt = jax.lax.dynamic_update_index_in_dim(
+                            bt, row, j, axis=0
+                        )
+                        lrow = jax.lax.dynamic_index_in_dim(
+                            bl, j, axis=0, keepdims=False
+                        )
+                        bl = jax.lax.dynamic_update_index_in_dim(
+                            bl, jnp.where(mlp, slp, lrow), j, axis=0
+                        )
+                        drow = jax.lax.dynamic_index_in_dim(
+                            bd, j, axis=0, keepdims=False
+                        )
+                        bd = jax.lax.dynamic_update_index_in_dim(
+                            bd, jnp.where(mlp, sdp, drow), j, axis=0
+                        )
+                        return j + 1, bt, bl, bd
+
+                    _, bt, bl, bd = jax.lax.while_loop(
+                        lambda c: c[0] <= hi, bank_body, (lo, bt, bl, bd)
+                    )
+                else:
+                    m = complete[None, :] & (
+                        slot[None, :]
+                        == jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                    )  # (B, C)
                     if multiplex:
-                        mj2 = mj[:, None] & mslot
-                        mth, mlp = mj2[:, :, None], mj2
-                        sth = sel_theta[:, None, :]
-                        slp = sel_logp[:, None]
-                        sdp = out_depth[:, None]
+                        m2 = m[:, :, None] & mslot[None]
+                        bt = jnp.where(
+                            m2[..., None], sel_theta[None, :, None, :], bt
+                        )
+                        bl = jnp.where(m2, sel_logp[None, :, None], bl)
+                        bd = jnp.where(m2, out_depth[None, :, None], bd)
                     else:
-                        mth, mlp = mj[:, None], mj
-                        sth, slp, sdp = sel_theta, sel_logp, out_depth
-                    row = jax.lax.dynamic_index_in_dim(
-                        bt, j, axis=0, keepdims=False
-                    )
-                    row = jnp.where(mth, sth, row)
-                    bt = jax.lax.dynamic_update_index_in_dim(
-                        bt, row, j, axis=0
-                    )
-                    lrow = jax.lax.dynamic_index_in_dim(
-                        bl, j, axis=0, keepdims=False
-                    )
-                    bl = jax.lax.dynamic_update_index_in_dim(
-                        bl, jnp.where(mlp, slp, lrow), j, axis=0
-                    )
-                    drow = jax.lax.dynamic_index_in_dim(
-                        bd, j, axis=0, keepdims=False
-                    )
-                    bd = jax.lax.dynamic_update_index_in_dim(
-                        bd, jnp.where(mlp, sdp, drow), j, axis=0
-                    )
-                    return j + 1, bt, bl, bd
-
-                _, bt, bl, bd = jax.lax.while_loop(
-                    lambda c: c[0] <= hi, bank_body, (lo, bt, bl, bd)
-                )
+                        bt = jnp.where(m[:, :, None], sel_theta[None], bt)
+                        bl = jnp.where(m, sel_logp[None], bl)
+                        bd = jnp.where(m, out_depth[None], bd)
                 return st, bt, bl, bd, trips
 
             carry = jax.lax.while_loop(
@@ -1669,47 +1724,64 @@ def make_batched_sample_block(
                     aux=(mass, mm_est, iteration),
                 )
                 slot = bank_idx % B  # valid where complete
-                lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
-                hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
                 if multiplex:
                     mslot = bank_cslot[:, None] == jnp.arange(2)[None, :]
+                if _use_bounded(sel_theta.shape[-1]):
+                    lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
+                    hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
 
-                def bank_body(c):
-                    j, bt, bl, bd = c
-                    mj = complete & (slot == j)
+                    def bank_body(c):
+                        j, bt, bl, bd = c
+                        mj = complete & (slot == j)
+                        if multiplex:
+                            mj2 = mj[:, None] & mslot
+                            mth, mlp = mj2[:, :, None], mj2
+                            sth = sel_theta[:, None, :]
+                            slp = sel_logp[:, None]
+                            sdp = out_depth[:, None]
+                        else:
+                            mth, mlp = mj[:, None], mj
+                            sth, slp, sdp = sel_theta, sel_logp, out_depth
+                        row = jax.lax.dynamic_index_in_dim(
+                            bt, j, axis=0, keepdims=False
+                        )
+                        row = jnp.where(mth, sth, row)
+                        bt = jax.lax.dynamic_update_index_in_dim(
+                            bt, row, j, axis=0
+                        )
+                        lrow = jax.lax.dynamic_index_in_dim(
+                            bl, j, axis=0, keepdims=False
+                        )
+                        bl = jax.lax.dynamic_update_index_in_dim(
+                            bl, jnp.where(mlp, slp, lrow), j, axis=0
+                        )
+                        drow = jax.lax.dynamic_index_in_dim(
+                            bd, j, axis=0, keepdims=False
+                        )
+                        bd = jax.lax.dynamic_update_index_in_dim(
+                            bd, jnp.where(mlp, sdp, drow), j, axis=0
+                        )
+                        return j + 1, bt, bl, bd
+
+                    _, bt, bl, bd = jax.lax.while_loop(
+                        lambda c: c[0] <= hi, bank_body, (lo, bt, bl, bd)
+                    )
+                else:
+                    m = complete[None, :] & (
+                        slot[None, :]
+                        == jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                    )  # (B, C)
                     if multiplex:
-                        mj2 = mj[:, None] & mslot
-                        mth, mlp = mj2[:, :, None], mj2
-                        sth = sel_theta[:, None, :]
-                        slp = sel_logp[:, None]
-                        sdp = out_depth[:, None]
+                        m2 = m[:, :, None] & mslot[None]
+                        bt = jnp.where(
+                            m2[..., None], sel_theta[None, :, None, :], bt
+                        )
+                        bl = jnp.where(m2, sel_logp[None, :, None], bl)
+                        bd = jnp.where(m2, out_depth[None, :, None], bd)
                     else:
-                        mth, mlp = mj[:, None], mj
-                        sth, slp, sdp = sel_theta, sel_logp, out_depth
-                    row = jax.lax.dynamic_index_in_dim(
-                        bt, j, axis=0, keepdims=False
-                    )
-                    row = jnp.where(mth, sth, row)
-                    bt = jax.lax.dynamic_update_index_in_dim(
-                        bt, row, j, axis=0
-                    )
-                    lrow = jax.lax.dynamic_index_in_dim(
-                        bl, j, axis=0, keepdims=False
-                    )
-                    bl = jax.lax.dynamic_update_index_in_dim(
-                        bl, jnp.where(mlp, slp, lrow), j, axis=0
-                    )
-                    drow = jax.lax.dynamic_index_in_dim(
-                        bd, j, axis=0, keepdims=False
-                    )
-                    bd = jax.lax.dynamic_update_index_in_dim(
-                        bd, jnp.where(mlp, sdp, drow), j, axis=0
-                    )
-                    return j + 1, bt, bl, bd
-
-                _, bt, bl, bd = jax.lax.while_loop(
-                    lambda c: c[0] <= hi, bank_body, (lo, bt, bl, bd)
-                )
+                        bt = jnp.where(m[:, :, None], sel_theta[None], bt)
+                        bl = jnp.where(m, sel_logp[None], bl)
+                        bd = jnp.where(m, out_depth[None], bd)
                 return st, aux, bt, bl, bd, trips
 
             carry = jax.lax.while_loop(
@@ -1772,7 +1844,8 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
                               runahead: int = 4,
                               tier2_every: int = 6,
                               speculate: bool = False,
-                              multiplex: bool = False):
+                              multiplex: bool = False,
+                              bounded_sweeps: Optional[bool] = None):
     """Batched-native ADAPTIVE WARMUP block — asynchronous per lane.
 
     The warmup adaptation dependency ("every draw's transition reads
@@ -1820,6 +1893,7 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
         adapt_full=True,
         speculate=speculate,
         multiplex=multiplex,
+        bounded_sweeps=bounded_sweeps,
     )
     block_adapt = sample_block.adapt
     max_error = sampling_cfg.max_hamiltonian_error

@@ -142,6 +142,7 @@ def run_warmup(
     batched_groups: int = 1,
     speculate: bool = False,
     multiplex: bool = False,
+    bounded_sweeps: Optional[bool] = None,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -196,6 +197,7 @@ def run_warmup(
             logp_grad, sampling_cfg, pallas_replay=pallas_replay,
             runahead=runahead, tier2_every=tier2_every,
             speculate=speculate, multiplex=multiplex,
+            bounded_sweeps=bounded_sweeps,
         )
 
         @partial(jax.jit, static_argnums=1, donate_argnums=0)
@@ -378,6 +380,7 @@ def run_sampling(
     fresh_cur: bool = False,
     speculate: bool = False,
     multiplex: bool = False,
+    bounded_sweeps: Optional[bool] = None,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -621,6 +624,7 @@ def run_sampling(
             fresh_cur=fresh_cur,
             speculate=speculate,
             multiplex=multiplex,
+            bounded_sweeps=bounded_sweeps,
         )
         b_max_error = sampling_cfg.max_hamiltonian_error
 
