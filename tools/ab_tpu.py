@@ -1,0 +1,131 @@
+"""TPU A/B harness for the round-3 scheduler options (speculate /
+multiplex / async warmup / tier-2 knobs).
+
+Recreated after the 2026-08-17 worker outage wiped the /tmp scripts
+(docs/ROADMAP.md item 4). Reuses ``bench._run_once`` so every arm runs
+the exact bench protocol: funnel(101) x 4096 chains, 400+400 iters,
+f32, fixed blocks of 100, max_step_halvings=8. Draws are bitwise (or
+1-ulp, multiplex) equal across arms, so wall time is the only metric
+that differs; ESS is recomputed only for the chain-count-changing
+throughput arm.
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_tpu.py [arm ...]
+Arms default to the full list. One JSON line per arm to stdout, plus a
+running log on stderr. Results land in /tmp/ab_results.jsonl too.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import bench  # noqa: E402
+
+# each arm: (name, env overrides, n_chains)
+ARMS = {
+    # batched defaults (groups=4 funnel, B=4, K=6) — the round-3 shipped config
+    "base": ({}, 4096),
+    # classic vmapped path (also the classic-warmup reference for the warmup A/B)
+    "classic": ({"BENCH_BATCHED": "0"}, 4096),
+    # speculative leaf continuation at the two K points (spec changes K economics)
+    "spec_k6": ({"BENCH_SPEC": "1"}, 4096),
+    "spec_k12": ({"BENCH_SPEC": "1", "BENCH_T2K": "12"}, 4096),
+    "k12": ({"BENCH_T2K": "12"}, 4096),
+    # multiplex protocol arm: same 4096 chains on 2048 lanes
+    "mux": ({"BENCH_MULTIPLEX": "1"}, 4096),
+    "mux_spec": ({"BENCH_MULTIPLEX": "1", "BENCH_SPEC": "1"}, 4096),
+    # multiplex throughput arm: 8192 chains on 4096 lanes (ESS changes; recomputed)
+    "mux_8192": ({"BENCH_MULTIPLEX": "1"}, 8192),
+    # fresh-cur pass-traffic lever (bitwise; pure wall A/B)
+    "freshcur": ({"BENCH_FRESHCUR": "1"}, 4096),
+}
+
+BASE_ENV = [
+    "BENCH_BATCHED", "BENCH_SPEC", "BENCH_T2K", "BENCH_MULTIPLEX",
+    "BENCH_FRESHCUR", "BENCH_BGROUPS", "BENCH_RUNAHEAD",
+    "BENCH_WARMUP_SPEC", "BENCH_WARMUP_MULTIPLEX",
+]
+
+
+def run_arm(name, env, n_chains, logp_grad, dim, seeds=(2027, 2028)):
+    for k in BASE_ENV:
+        os.environ.pop(k, None)
+    os.environ.update(env)
+    import jax.numpy as jnp
+
+    tiny = bool(int(os.environ.get("AB_TINY", 0)))
+    if tiny:
+        n_chains, seeds = max(8, n_chains // 512), seeds[:1]
+    warm, samp = (100, 100) if not tiny else (100, 100)
+    iters = (400, 400) if not tiny else (100, 100)
+    # compile pass at block shapes, then timed full run per seed
+    t0 = time.time()
+    bench._run_once(logp_grad, dim, n_chains, warm, samp, 2026, jnp.float32,
+                    model_name="funnel")
+    compile_s = time.time() - t0
+    res = []
+    for s in seeds:
+        r = bench._run_once(logp_grad, dim, n_chains, iters[0], iters[1], s,
+                            jnp.float32, model_name="funnel")
+        draws = r.pop("draws")
+        ess = None
+        if name.endswith("_8192") or os.environ.get("AB_ESS"):
+            from walnuts_tpu.summary import effective_sample_size
+
+            d = np.moveaxis(np.asarray(draws), 0, 1)
+            ess = float(np.median(effective_sample_size(
+                [d[c] for c in range(d.shape[0])])))
+        del draws
+        res.append({**{k: round(v, 3) for k, v in r.items()}, "ess": ess})
+    out = {
+        "arm": name,
+        "n_chains": n_chains,
+        "compile_s": round(compile_s, 1),
+        "warmup_s": [x["warmup_time"] for x in res],
+        "sampling_s": [x["sampling_time"] for x in res],
+        "grads": [x["total_grads"] for x in res],
+        "ess": [x["ess"] for x in res],
+    }
+    return out
+
+
+def main():
+    import jax
+
+    if os.environ.get("AB_PLATFORM"):  # CPU smoke: AB_PLATFORM=cpu AB_TINY=1
+        jax.config.update("jax_platforms", os.environ["AB_PLATFORM"])
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+    from walnuts_tpu.models import funnel
+    from walnuts_tpu.ops.math import make_logp_grad
+
+    logp, dim = funnel(101)
+    logp_grad = make_logp_grad(logp)
+
+    names = sys.argv[1:] or list(ARMS)
+    for name in names:
+        env, n_chains = ARMS[name]
+        print(f"[ab] {name} starting ({env}, C={n_chains})",
+              file=sys.stderr, flush=True)
+        t0 = time.time()
+        out = run_arm(name, env, n_chains, logp_grad, dim)
+        out["wall_s"] = round(time.time() - t0, 1)
+        line = json.dumps(out)
+        print(line, flush=True)
+        with open("/tmp/ab_results.jsonl", "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
