@@ -53,7 +53,8 @@ BASE_ENV = [
 ]
 
 
-def run_arm(name, env, n_chains, logp_grad, dim, seeds=(2027, 2028)):
+def run_arm(name, env, n_chains, logp_grad, dim, model="funnel",
+            seeds=(2027, 2028)):
     for k in BASE_ENV:
         os.environ.pop(k, None)
     os.environ.update(env)
@@ -62,17 +63,21 @@ def run_arm(name, env, n_chains, logp_grad, dim, seeds=(2027, 2028)):
     tiny = bool(int(os.environ.get("AB_TINY", 0)))
     if tiny:
         n_chains, seeds = max(8, n_chains // 512), seeds[:1]
-    warm, samp = (100, 100) if not tiny else (100, 100)
-    iters = (400, 400) if not tiny else (100, 100)
+    # SV flagship protocol: 1024 chains, 200+200, blocks of 50 (bench.py)
+    if model == "sv" and not tiny:
+        n_chains = n_chains if n_chains != 4096 else 1024
+    block = 50 if model == "sv" else 100
+    iters = (100, 100) if tiny else (
+        (200, 200) if model == "sv" else (400, 400))
     # compile pass at block shapes, then timed full run per seed
     t0 = time.time()
-    bench._run_once(logp_grad, dim, n_chains, warm, samp, 2026, jnp.float32,
-                    model_name="funnel")
+    bench._run_once(logp_grad, dim, n_chains, block, block, 2026, jnp.float32,
+                    model_name=model)
     compile_s = time.time() - t0
     res = []
     for s in seeds:
         r = bench._run_once(logp_grad, dim, n_chains, iters[0], iters[1], s,
-                            jnp.float32, model_name="funnel")
+                            jnp.float32, model_name=model)
         draws = r.pop("draws")
         ess = None
         if name.endswith("_8192") or os.environ.get("AB_ESS"):
@@ -85,6 +90,7 @@ def run_arm(name, env, n_chains, logp_grad, dim, seeds=(2027, 2028)):
         res.append({**{k: round(v, 3) for k, v in r.items()}, "ess": ess})
     out = {
         "arm": name,
+        "model": model,
         "n_chains": n_chains,
         "compile_s": round(compile_s, 1),
         "warmup_s": [x["warmup_time"] for x in res],
@@ -107,19 +113,30 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
-    from walnuts_tpu.models import funnel
     from walnuts_tpu.ops.math import make_logp_grad
 
-    logp, dim = funnel(101)
+    model = os.environ.get("AB_MODEL", "funnel")
+    if model == "funnel":
+        from walnuts_tpu.models import funnel
+
+        logp, dim = funnel(101)
+    elif model == "sv":
+        from walnuts_tpu.models import stochastic_volatility
+
+        logp, dim = stochastic_volatility()
+    else:
+        from walnuts_tpu.models import logistic_regression
+
+        logp, dim = logistic_regression()
     logp_grad = make_logp_grad(logp)
 
     names = sys.argv[1:] or list(ARMS)
     for name in names:
         env, n_chains = ARMS[name]
-        print(f"[ab] {name} starting ({env}, C={n_chains})",
+        print(f"[ab] {name} starting ({env}, C={n_chains}, {model})",
               file=sys.stderr, flush=True)
         t0 = time.time()
-        out = run_arm(name, env, n_chains, logp_grad, dim)
+        out = run_arm(name, env, n_chains, logp_grad, dim, model=model)
         out["wall_s"] = round(time.time() - t0, 1)
         line = json.dumps(out)
         print(line, flush=True)
