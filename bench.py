@@ -86,7 +86,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     batched = bool(int(os.environ.get("BENCH_BATCHED", 1))) and groups_env == 1
     # warmup scheduler knobs (the batched warmup is asynchronous per lane;
     # runahead/groups are scheduling-only — BENCH_WARMUP_B/_GROUPS
-    # override; defaults pending the TPU warmup A/B, /tmp/ab_warmup.py)
+    # override; tools/ab_tpu.py re-measures the warmup arms)
     wstate, _, _, info = run_warmup(
         logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16,
         unroll=unroll, batched=batched,
