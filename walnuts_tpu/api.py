@@ -156,7 +156,10 @@ def walnuts(
       bitwise identical; warmup adaptation is schedule-exact but its
       floats drift ~1 ulp/pass under jit (eager-exact — the same
       compiler-contraction class as the async warmup itself). Off by
-      default pending the TPU A/B.
+      default: the funnel TPU A/B measured it slower at every K
+      (docs/BENCHMARKS.md "Scheduler-option TPU A/B") — the tuned-K
+      schedule is trip-bound, so cutting passes doesn't pay for the
+      extra per-trip selects.
     - ``multiplex``: two chains per lane for the batched sampler —
       lanes switch to their sibling chain at draw boundaries, so
       per-lane work approaches the PAIR-mean cost and the batch-max
@@ -168,7 +171,11 @@ def walnuts(
       scheduler's; draw floats are eager-exact and drift ~1 ulp under
       jit (the active chain's step/inv_mass become loop carries, which
       changes XLA's leapfrog contraction — the ``fresh_cur`` class).
-      Off by default pending the TPU A/B.
+      Off by default: the funnel TPU A/B measured both the protocol
+      and added-chains arms slower than one-chain-per-lane
+      (docs/BENCHMARKS.md) — per-trip cost is ~linear in lane count at
+      these shapes, so halving lanes halves usable parallelism. Its
+      regime is lane counts past bandwidth saturation.
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
