@@ -63,9 +63,13 @@ def run_arm(name, env, n_chains, logp_grad, dim, model="funnel",
     tiny = bool(int(os.environ.get("AB_TINY", 0)))
     if tiny:
         n_chains, seeds = max(8, n_chains // 512), seeds[:1]
-    # SV flagship protocol: 1024 chains, 200+200, blocks of 50 (bench.py)
+    # SV flagship protocol: 1024 chains, 200+200, blocks of 50 (bench.py).
+    # Scale EVERY arm's chain count by the same 4x factor (not just the
+    # 4096 default) so the 8192-chain throughput arm runs 2048 — past
+    # that the axon worker's ~1-min jitted-block watchdog kills SV
+    # blocks (docs/BENCHMARKS.md round-2 root cause).
     if model == "sv" and not tiny:
-        n_chains = n_chains if n_chains != 4096 else 1024
+        n_chains = max(256, n_chains // 4)
     block = 50 if model == "sv" else 100
     iters = (100, 100) if tiny else (
         (200, 200) if model == "sv" else (400, 400))
@@ -81,11 +85,22 @@ def run_arm(name, env, n_chains, logp_grad, dim, model="funnel",
         draws = r.pop("draws")
         ess = None
         if name.endswith("_8192") or os.environ.get("AB_ESS"):
-            from walnuts_tpu.summary import effective_sample_size
+            if isinstance(draws, np.ndarray):
+                from walnuts_tpu.summary import effective_sample_size
 
-            d = np.moveaxis(np.asarray(draws), 0, 1)
-            ess = float(np.median(effective_sample_size(
-                [d[c] for c in range(d.shape[0])])))
+                d = np.moveaxis(draws, 0, 1)
+                ess = float(np.median(effective_sample_size(
+                    [d[c] for c in range(d.shape[0])])))
+            else:
+                # wide posteriors (SV) stay device-resident — the host
+                # link cannot move the cube (mirrors bench._ess_per_sec)
+                from walnuts_tpu.summary_device import (
+                    effective_sample_size_device_chunked,
+                )
+
+                ess = float(np.median(np.asarray(
+                    effective_sample_size_device_chunked(
+                        jnp.moveaxis(draws, 0, 1)))))
         del draws
         res.append({**{k: round(v, 3) for k, v in r.items()}, "ess": ess})
     out = {
