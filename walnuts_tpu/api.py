@@ -155,11 +155,14 @@ def walnuts(
       docs/ROADMAP.md item 4). Sampling draws stay
       bitwise identical; warmup adaptation is schedule-exact but its
       floats drift ~1 ulp/pass under jit (eager-exact — the same
-      compiler-contraction class as the async warmup itself). Off by
-      default: the funnel TPU A/B measured it slower at every K
-      (docs/BENCHMARKS.md "Scheduler-option TPU A/B") — the tuned-K
-      schedule is trip-bound, so cutting passes doesn't pay for the
-      extra per-trip selects.
+      compiler-contraction class as the async warmup itself).
+      EXPERIMENTAL — off by default and measured slower on every TPU
+      A/B arm: the funnel at every K (the tuned-K schedule is
+      trip-bound, so cutting passes doesn't pay for the extra per-trip
+      selects) AND the SV flagship at its best K=12 (20.4/21.0 s vs
+      base 17.9/17.6 s sampling — docs/BENCHMARKS.md "Scheduler-option
+      TPU A/B"). Its bitwise oracle is experimental-tier: default-path
+      changes need not preserve it (CLAUDE.md invariants).
     - ``multiplex``: two chains per lane for the batched sampler —
       lanes switch to their sibling chain at draw boundaries, so
       per-lane work approaches the PAIR-mean cost and the batch-max
@@ -171,11 +174,13 @@ def walnuts(
       scheduler's; draw floats are eager-exact and drift ~1 ulp under
       jit (the active chain's step/inv_mass become loop carries, which
       changes XLA's leapfrog contraction — the ``fresh_cur`` class).
-      Off by default: the funnel TPU A/B measured both the protocol
-      and added-chains arms slower than one-chain-per-lane
-      (docs/BENCHMARKS.md) — per-trip cost is ~linear in lane count at
-      these shapes, so halving lanes halves usable parallelism. Its
-      regime is lane counts past bandwidth saturation.
+      EXPERIMENTAL — off by default: the funnel TPU A/B measured the
+      protocol arm clearly slower than one-chain-per-lane and the
+      added-chains arm within noise (docs/BENCHMARKS.md) — per-trip
+      cost is ~linear in lane count at these shapes, so halving lanes
+      halves usable parallelism. Its regime is lane counts past
+      bandwidth saturation. Its bitwise oracle is experimental-tier:
+      default-path changes need not preserve it (CLAUDE.md).
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
