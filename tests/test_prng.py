@@ -72,3 +72,55 @@ class TestReplayChain:
                                           interpret=True)
         np.testing.assert_array_equal(np.asarray(kd), np.asarray(got_k))
         np.testing.assert_array_equal(np.asarray(ku), np.asarray(got_u))
+
+
+class TestRandomRestatements:
+    """The fused-pass kernel derives every trajectory-entry random value
+    (split / uniform / normal / bernoulli) from raw key data with the
+    jnp restatements below — each must match jax.random BITWISE (f32 and
+    f64), or the Pallas pass would silently fork the RNG stream."""
+
+    def test_split_n(self, keys):
+        from walnuts_tpu.ops.prng import split_n_data
+
+        kd = jax.random.key_data(keys).astype(jnp.uint32)
+        ref = jax.vmap(
+            lambda k: jax.random.key_data(jax.random.split(k, 3))
+        )(keys).astype(jnp.uint32)
+        got = split_n_data(kd, 3)
+        for j in range(3):
+            np.testing.assert_array_equal(np.asarray(ref[:, j]),
+                                          np.asarray(got[j]))
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+    @pytest.mark.parametrize("n", [3, 101])
+    def test_uniform(self, keys, dtype, n):
+        from walnuts_tpu.ops.prng import uniform_from_data
+
+        kd = jax.random.key_data(keys).astype(jnp.uint32)
+        ref = jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype))(keys)
+        got = uniform_from_data(kd, n, dtype)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+    @pytest.mark.parametrize("n", [101, 1003])
+    def test_normal(self, keys, dtype, n):
+        from walnuts_tpu.ops.prng import normal_from_data
+
+        kd = jax.random.key_data(keys).astype(jnp.uint32)
+        ref = jax.vmap(lambda k: jax.random.normal(k, (n,), dtype))(keys)
+        got = normal_from_data(kd, n, dtype)
+        np.testing.assert_array_equal(
+            np.asarray(ref).view(np.uint32 if dtype == jnp.float32
+                                 else np.uint64),
+            np.asarray(got).view(np.uint32 if dtype == jnp.float32
+                                 else np.uint64),
+        )
+
+    def test_bernoulli(self, keys):
+        from walnuts_tpu.ops.prng import bernoulli_half_from_data
+
+        kd = jax.random.key_data(keys).astype(jnp.uint32)
+        ref = jax.vmap(jax.random.bernoulli)(keys)
+        got = bernoulli_half_from_data(kd)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

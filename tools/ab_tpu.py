@@ -44,12 +44,15 @@ ARMS = {
     "mux_8192": ({"BENCH_MULTIPLEX": "1"}, 8192),
     # fresh-cur pass-traffic lever (bitwise; pure wall A/B)
     "freshcur": ({"BENCH_FRESHCUR": "1"}, 4096),
+    # round-4 fused tier-2 pass kernel (ops/fused_pass.py; bitwise)
+    "ppass": ({"BENCH_PPASS": "1"}, 4096),
+    "xlapass": ({"BENCH_PPASS": "0"}, 4096),
 }
 
 BASE_ENV = [
     "BENCH_BATCHED", "BENCH_SPEC", "BENCH_T2K", "BENCH_MULTIPLEX",
     "BENCH_FRESHCUR", "BENCH_BGROUPS", "BENCH_RUNAHEAD",
-    "BENCH_WARMUP_SPEC", "BENCH_WARMUP_MULTIPLEX",
+    "BENCH_WARMUP_SPEC", "BENCH_WARMUP_MULTIPLEX", "BENCH_PPASS",
 ]
 
 

@@ -238,6 +238,8 @@ def make_batched_sample_block(
     speculate: bool = False,
     multiplex: bool = False,
     bounded_sweeps: Optional[bool] = None,
+    pallas_pass: bool = False,
+    pass_tile: Optional[int] = None,
 ):
     """Build ``(start_block, sample_block)`` for batched-native sampling.
 
@@ -369,6 +371,15 @@ def make_batched_sample_block(
                          "pallas_replay=True (the fused replay kernel "
                          "captures one subkey per lane; speculation "
                          "needs the pending leaf's too)")
+    if pallas_pass and (speculate or multiplex or adapt_full or fresh_cur
+                        or bf16_ends or adapt_step_size or pallas_replay
+                        or not defer_splits):
+        raise ValueError(
+            "pallas_pass=True covers the default sampling configuration "
+            "only (defer_splits, no speculate/multiplex/adapt_full/"
+            "fresh_cur/bf16_ends/adapt_step_size/pallas_replay) — other "
+            "configurations use the XLA tier-2 pass"
+        )
     n_slots = max(max_depth - 1, 1)
     B = max(int(runahead), 1)
     K = int(tier2_every)
@@ -1444,6 +1455,94 @@ def make_batched_sample_block(
         fl = _mix_slots(state, state.fails, state.ot_fails)
         return keys, ng, fl
 
+    # ------------------------------------------------------------------
+    # fused tier-2 pass (ops/fused_pass.py): the whole resolution sweep
+    # + draw banking as ONE Pallas kernel with VMEM-resident rows —
+    # replaces the ~237-kernel XLA pass (round-4 profile) for the base
+    # sampling configuration. Scalars pack into (k, C) lane-stacked
+    # arrays at the boundary (a cheap concat); rows pass through with
+    # their natural shapes.
+    # ------------------------------------------------------------------
+    def _pass_ct(C: int, D: int) -> int:
+        if pass_tile is not None:
+            return int(pass_tile)
+        import os
+
+        env = os.environ.get("WALNUTS_PASS_CT")
+        if env:
+            return int(env)
+        # ~28 row blocks of (ct, D_padded) f32, double-buffered across
+        # grid steps, inside a ~6 MB VMEM budget (of the ~16 MB core)
+        dp = ((D + 127) // 128) * 128
+        ct = max(1, (6 * 1024 * 1024) // (28 * dp * 4 * 2))
+        ct = min(ct, C, 1024)
+        ct = 1 << (ct.bit_length() - 1)  # floor to a power of two
+        while C % ct:
+            ct //= 2
+        return max(ct, 1)
+
+    def _apply_fused_pass(st: LaneState, bt, bl, bd, cap, step, inv_mass,
+                          min_micro, block_draws: int):
+        from walnuts_tpu.ops import fused_pass as _fp
+
+        # the kernel restates the acc_v/acc_s slot layout — guard the
+        # index contract once per trace
+        assert (_fp._THETA_BK, _fp._RHO_BK, _fp._THETA_FW, _fp._RHO_FW,
+                _fp._THETA_SEL) == (_THETA_BK, _RHO_BK, _THETA_FW,
+                                    _RHO_FW, _THETA_SEL)
+        assert (_fp._LOGP_BK, _fp._LOGP_FW, _fp._LOGP_SEL, _fp._LOGW) == (
+            _LOGP_BK, _LOGP_FW, _LOGP_SEL, _LOGW)
+        C, D = st.run_sel.shape
+        dtype = st.ms_joint.dtype
+        fpk = jnp.concatenate([
+            jnp.stack([st.run_sel_logp, st.run_logw, st.ms_joint,
+                       st.dt, st.lp_cur], 0),
+            st.acc_s.T,
+        ], 0)
+        ipk = jnp.stack([
+            st.depth, st.out_depth, st.leaf_idx, st.n_leaves,
+            st.halvings, st.steps_done, st.steps_total, st.phase,
+            st.n_ends, st.leaf_end_at, st.fails.n_depth_exhausted,
+            st.draws_done,
+        ], 0)
+        bpk = jnp.stack([st.forward, st.leaf_done, st.leaf_ok], 0)
+        kd = jax.random.key_data(st.key).astype(jnp.uint32)
+        upk = jnp.concatenate([kd.T, st.ku.astype(jnp.uint32).T], 0)
+        rof = jnp.stack([
+            st.fwd_logp_pos, st.fwd_joint,
+            jnp.broadcast_to(step, (C,)).astype(dtype),
+        ], 0)
+        mm = jnp.broadcast_to(min_micro, (C,)).astype(jnp.int32)[None]
+        cap2 = jnp.reshape(cap, (1, 1)).astype(jnp.int32)
+        (fpk, ipk, bpk, upk, acc_v, agb, ags, agf, stack_e, run_sel,
+         rsg, ms, cur, bt, bl, bd) = _fp.fused_pass_call(
+            fpk, ipk, bpk, upk, st.acc_v, st.acc_grad_bk,
+            st.acc_grad_sel, st.acc_grad_fw, st.stack_e, st.run_sel,
+            st.run_sel_grad, st.ms, st.cur, bt, bl, bd,
+            st.fwd, inv_mass, rof, mm, cap2,
+            max_depth=max_depth, n_slots=n_slots, B=B,
+            R=int(block_draws), ct=_pass_ct(C, D),
+            interpret=jax.default_backend() != "tpu",
+        )
+        impl = jax.random.key_impl(st.key)
+        st = st._replace(
+            run_sel_logp=fpk[0], run_logw=fpk[1], ms_joint=fpk[2],
+            dt=fpk[3], lp_cur=fpk[4], acc_s=fpk[5:9].T,
+            depth=ipk[0], out_depth=ipk[1], leaf_idx=ipk[2],
+            n_leaves=ipk[3], halvings=ipk[4], steps_done=ipk[5],
+            steps_total=ipk[6], phase=ipk[7], n_ends=ipk[8],
+            leaf_end_at=ipk[9],
+            fails=st.fails._replace(n_depth_exhausted=ipk[10]),
+            draws_done=ipk[11],
+            forward=bpk[0], leaf_done=bpk[1], leaf_ok=bpk[2],
+            key=jax.random.wrap_key_data(upk[:2].T, impl=impl),
+            ku=upk[2:4].T.astype(st.ku.dtype),
+            acc_v=acc_v, acc_grad_bk=agb, acc_grad_sel=ags,
+            acc_grad_fw=agf, stack_e=stack_e, run_sel=run_sel,
+            run_sel_grad=rsg, ms=ms, cur=cur,
+        )
+        return st, bt, bl, bd
+
     def sample_block(state: LaneState, step, inv_mass, min_micro,
                      max_error, num_draws: int):
         R = int(num_draws)
@@ -1520,6 +1619,11 @@ def make_batched_sample_block(
                     inner_cond, inner_body, (st, trips[0])
                 )
                 trips = (n_inner, trips[1] + 1)
+                if pallas_pass:
+                    st, bt, bl, bd = _apply_fused_pass(
+                        st, bt, bl, bd, cap, step, inv_mass, min_micro, R
+                    )
+                    return st, bt, bl, bd, trips
                 if multiplex:
                     (st, complete, sel_theta, sel_logp, out_depth, _,
                      bank_idx, bank_cslot, _) = leaf_apply(

@@ -77,6 +77,96 @@ def split_data(key_data: Array) -> Array:
     return jnp.stack([sub0, sub1], axis=-2)
 
 
+def split_n_data(key_data: Array, n: int):
+    """``jax.random.split(key, n)`` on raw key data: (..., 2) u32 ->
+    tuple of n (..., 2) u32 subkeys (partitionable lowering:
+    ``subkey_j = threefry2x32(key, hi=0, lo=j)``). Bitwise equal to
+    ``jax.random.key_data(jax.random.split(key, n))`` (tests/test_prng)."""
+    k0, k1 = key_data[..., 0], key_data[..., 1]
+    zero = jnp.zeros_like(k0)
+    subs = []
+    for j in range(n):
+        a0, a1 = _threefry2x32(k0, k1, zero, zero + np.uint32(j))
+        subs.append(jnp.stack([a0, a1], axis=-1))
+    return tuple(subs)
+
+
+def random_bits32_data(key_data: Array, n: int) -> Array:
+    """``random_bits(key, 32, (n,))`` on raw key data, batched: (..., 2)
+    u32 -> (..., n) u32 (partitionable lowering: ``bits_j = x0 ^ x1``
+    with ``(x0, x1) = threefry2x32(key, hi=0, lo=j)``). One batched
+    threefry over the broadcast counter axis."""
+    k0, k1 = key_data[..., 0, None], key_data[..., 1, None]
+    idx = jax.lax.broadcasted_iota(jnp.uint32, k0.shape[:-1] + (n,),
+                                   k0.ndim - 1)
+    x0, x1 = _threefry2x32(k0 + jnp.uint32(0), k1 + jnp.uint32(0),
+                           jnp.zeros_like(idx), idx)
+    return x0 ^ x1
+
+
+def uniform01_from_bits(bits: Array, dtype) -> Array:
+    """jax's ``uniform(key, shape, dtype, 0, 1)`` bit transform on
+    pre-drawn random bits (jax _src/random.py ``_uniform``): randomize
+    the mantissa at exponent 1, subtract 1. ``bits`` is u32 for 32-bit
+    floats, u64 for f64."""
+    dtype = jnp.dtype(dtype)
+    nmant = jnp.finfo(dtype).nmant
+    nbits = jnp.finfo(dtype).bits
+    udt = bits.dtype
+    fb = (bits >> udt.type(nbits - nmant)) | jnp.asarray(
+        np.array(1.0, dtype).view(udt.type), dtype=udt
+    )
+    return jax.lax.bitcast_convert_type(fb, dtype) - jnp.asarray(1.0, dtype)
+
+
+def random_bits_data(key_data: Array, n: int, dtype) -> Array:
+    """Random bits at the width of ``dtype``: u32 for 32-bit floats,
+    u64 (``(x0 << 32) | x1``, no xor — jax's 64-bit path) for f64."""
+    if jnp.finfo(dtype).bits == 64:
+        k0, k1 = key_data[..., 0, None], key_data[..., 1, None]
+        idx = jax.lax.broadcasted_iota(jnp.uint32, k0.shape[:-1] + (n,),
+                                       k0.ndim - 1)
+        x0, x1 = _threefry2x32(k0 + jnp.uint32(0), k1 + jnp.uint32(0),
+                               jnp.zeros_like(idx), idx)
+        return (x0.astype(jnp.uint64) << jnp.uint64(32)) | x1.astype(
+            jnp.uint64
+        )
+    return random_bits32_data(key_data, n)
+
+
+def uniform_from_data(key_data: Array, n: int, dtype) -> Array:
+    """``jax.random.uniform(key, (n,), dtype)`` on raw key data
+    (batched over leading dims). Bitwise equal (tests/test_prng.py)."""
+    return uniform01_from_bits(random_bits_data(key_data, n, dtype), dtype)
+
+
+def normal_from_data(key_data: Array, n: int, dtype) -> Array:
+    """``jax.random.normal(key, (n,), dtype)`` on raw key data:
+    ``sqrt(2) * erf_inv(uniform(lo=nextafter(-1, 0), hi=1))`` — jax
+    _src/random.py ``_normal_real``. Bitwise equal on CPU; on TPU
+    ``erf_inv`` lowers through the same expansion (measured bitwise in
+    the Mosaic spike)."""
+    dtype = jnp.dtype(dtype)
+    lo = np.nextafter(np.array(-1.0, dtype), np.array(0.0, dtype),
+                      dtype=dtype)
+    hi = np.array(1.0, dtype)
+    u = uniform01_from_bits(random_bits_data(key_data, n, dtype), dtype)
+    u = u * jnp.asarray(hi - lo, dtype) + jnp.asarray(lo, dtype)
+    u = jnp.maximum(jnp.asarray(lo, dtype), u)
+    return jnp.asarray(np.sqrt(2), dtype) * jax.lax.erf_inv(u)
+
+
+def bernoulli_half_from_data(key_data: Array) -> Array:
+    """``jax.random.bernoulli(key)`` on raw key data. The default
+    ``p = 0.5`` is a Python float, so ``lax.dtype(p)`` — and with it the
+    comparison uniform's bit width — follows the canonical float dtype:
+    f64 under x64 (the CPU test configuration), f32 otherwise (TPU).
+    Returns bool, n=1 axis squeezed."""
+    dtype = jnp.result_type(0.5)
+    u = uniform_from_data(key_data, 1, dtype)
+    return (u < jnp.asarray(0.5, dtype))[..., 0]
+
+
 def _replay_kernel(k0_ref, k1_ref, ku0_ref, ku1_ref, nends_ref, leafend_ref,
                    k0_out, k1_out, ku0_out, ku1_out):
     k0 = k0_ref[...]
@@ -144,4 +234,14 @@ def replay_split_chain(key_data: Array, ku_data: Array, n_ends: Array,
     return jnp.stack([k0, k1], axis=-1), jnp.stack([ku0, ku1], axis=-1)
 
 
-__all__ = ["split_data", "replay_split_chain"]
+__all__ = [
+    "split_data",
+    "split_n_data",
+    "random_bits32_data",
+    "random_bits_data",
+    "uniform01_from_bits",
+    "uniform_from_data",
+    "normal_from_data",
+    "bernoulli_half_from_data",
+    "replay_split_chain",
+]

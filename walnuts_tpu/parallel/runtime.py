@@ -381,6 +381,8 @@ def run_sampling(
     speculate: bool = False,
     multiplex: bool = False,
     bounded_sweeps: Optional[bool] = None,
+    pallas_pass: bool = False,
+    pass_tile: Optional[int] = None,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -625,6 +627,8 @@ def run_sampling(
             speculate=speculate,
             multiplex=multiplex,
             bounded_sweeps=bounded_sweeps,
+            pallas_pass=pallas_pass,
+            pass_tile=pass_tile,
         )
         b_max_error = sampling_cfg.max_hamiltonian_error
 
