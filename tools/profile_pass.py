@@ -170,7 +170,10 @@ def main():
             "PP_K", 12 if model_name == "sv" else 6)),
         speculate=bool(int(os.environ.get("PP_SPEC", 0))),
         fresh_cur=bool(int(os.environ.get("PP_FRESHCUR", 0))),
+        pallas_pass=bool(int(os.environ.get("PP_PPASS", 0))),
     )
+    if os.environ.get("PP_TILE"):
+        kwargs["pass_tile"] = int(os.environ["PP_TILE"])
     cfg = SamplingConfig(min_iter=profile_draws, max_iter=profile_draws,
                          block_size=profile_draws,
                          max_step_halvings=int(

@@ -150,7 +150,9 @@ def _ctz(x):
     lax.population_count. Identical integers to ops.math's version."""
     x = x.astype(jnp.uint32)
     low = x & (~x + jnp.uint32(1))
-    f = low.astype(jnp.float32)
+    # Mosaic lacks the u32->f32 cast; the isolated low bit is tiny
+    # (leaf_idx + 1 <= 2^(max_depth-1)), so route through int32
+    f = low.astype(jnp.int32).astype(jnp.float32)
     expo = (jax.lax.bitcast_convert_type(f, jnp.uint32)
             >> jnp.uint32(23)).astype(jnp.int32) - 127
     return expo
@@ -326,10 +328,13 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
         cont_m = pend & ~complete
 
         # ---- single-pass merged field writes ----
-        new_dir = jnp.where(
-            restart, forward0,
-            jnp.where(deeper, u_dir < jnp.asarray(0.5, dtype), forward),
+        # boolean selects as logic ops: select_n on i1 values lowers to
+        # an i8->i1 truncate Mosaic rejects ("Unsupported target
+        # bitwidth for truncation", measured round 4)
+        dir_deep = (deeper & (u_dir < jnp.asarray(0.5, dtype))) | (
+            ~deeper & forward
         )
+        new_dir = (restart & forward0) | (~restart & dir_deep)
         nd1 = _bcol(new_dir)
         acc_grad_fw = jnp.where(r1, sel_grad,
                                 jnp.where(_bcol(upd_fw), fwd[:, 2],
@@ -432,8 +437,8 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
         ip_o[_I_N_DEX] = n_dex + exhausted.astype(jnp.int32)
         ip_o[_I_DRAWS_DONE] = new_draws_done
         bp_o[_B_FORWARD] = new_dir
-        bp_o[_B_LEAF_DONE] = jnp.where(pend, False, leaf_done)
-        bp_o[_B_LEAF_OK] = jnp.where(pend, False, leaf_ok_in)
+        bp_o[_B_LEAF_DONE] = leaf_done & ~pend
+        bp_o[_B_LEAF_OK] = leaf_ok_in & ~pend
         up_o[_U_KEY0] = jnp.where(restart, kn0, k0)
         up_o[_U_KEY1] = jnp.where(restart, kn1, k1)
         up_o[_U_KU0] = ku0
