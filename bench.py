@@ -154,10 +154,15 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     jax.block_until_ready((sstate, draws))
     sampling_time = time.time() - t0
     t0 = time.time()
-    if dim <= 256:
+    # Round 4: the bench is device-resident end to end by default —
+    # the funnel's host transfer alone cost ~27 s/seed on this tunnel
+    # (BENCH_r01/r02 detail) and ESS runs on device anyway
+    # (summary_device, matches the host estimator to float tolerance;
+    # tested). BENCH_DEVICE_ESS=0 restores the host path. Very wide
+    # posteriors (the 1003-dim SV) ALWAYS stay device-resident: the
+    # host link cannot move the 6.6 GB cube.
+    if dim <= 256 and not int(os.environ.get("BENCH_DEVICE_ESS", 1)):
         draws = np.asarray(draws)
-    # very wide posteriors (the 1003-dim SV) stay device-resident: the
-    # host link cannot move the 6.6 GB cube; ESS runs on device instead
     transfer_time = time.time() - t0
     total_grads = int(np.sum(info.n_grads))
     return {

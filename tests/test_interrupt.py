@@ -1,0 +1,182 @@
+"""KeyboardInterrupt contract (reference interrupts.hpp:34-102).
+
+The reference installs a SIGINT handler and finishes the current
+iteration before returning whatever was drawn so far. The TPU runtime's
+analog catches KeyboardInterrupt BETWEEN blocks (runtime.py run_warmup /
+run_sampling): the state reached so far is kept, ``info.interrupted``
+is set, partial draws are returned, and — with a checkpointer — the run
+resumes bitwise. These tests raise from the ``progress`` callback
+(which runs inside the guarded loop, after a block lands), the same
+place a user's Ctrl-C lands between blocks.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from walnuts_tpu import walnuts
+from walnuts_tpu.config import SamplingConfig, WarmupConfig
+from walnuts_tpu.core.adapt import nutpie_init_mass
+from walnuts_tpu.core.sampler import (
+    freeze_params,
+    init_sample_state,
+    init_warmup_state,
+)
+from walnuts_tpu.models import std_normal
+from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
+from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
+
+LOGP, DIM = std_normal(3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    logp_grad = make_logp_grad(LOGP)
+    C, dtype = 4, jnp.float64
+    wcfg = WarmupConfig(min_iter=12, max_iter=12, block_size=4)
+    scfg = SamplingConfig(min_iter=12, max_iter=12, block_size=4,
+                          max_step_halvings=5)
+    base = jax.random.key(3)
+    keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(jnp.arange(C))
+    theta0 = 2.0 * jax.random.normal(jax.random.fold_in(base, 99),
+                                     (C, DIM), dtype)
+    grads = jax.vmap(lambda t: logp_grad(t)[1])(theta0)
+    im0 = jax.vmap(
+        lambda g: nutpie_init_mass(g, jnp.asarray(1e-5, dtype)))(grads)
+    sk = jax.vmap(lambda c: jax.random.fold_in(base, c + C))(jnp.arange(C))
+    step0 = jax.jit(jax.vmap(
+        lambda k, t, m: adapt_step_size(k, logp_grad, t, m,
+                                        jnp.asarray(1.0, dtype))
+    ))(sk, theta0, im0)
+    ws0 = jax.vmap(
+        lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
+    )(keys, theta0, im0, step0)
+    return logp_grad, ws0, wcfg, scfg
+
+
+def _interrupting(after_iter):
+    calls = {"n": 0}
+
+    def progress(phase, iteration):
+        calls["n"] += 1
+        if iteration >= after_iter:
+            raise KeyboardInterrupt
+
+    return progress
+
+
+class TestRuntimeInterrupt:
+    def test_sampling_interrupt_returns_partial_draws(self, setup):
+        logp_grad, ws0, wcfg, scfg = setup
+        ws, _, _, info0 = run_warmup(logp_grad, ws0, wcfg, scfg)
+        params = jax.vmap(freeze_params)(ws)
+        ss = jax.vmap(init_sample_state)(ws)
+        full = run_sampling(logp_grad, ss, params, scfg, info=info0,
+                            batched=True)
+        s2, draws, logps, info = run_sampling(
+            logp_grad, ss, params, scfg, info=info0, batched=True,
+            progress=_interrupting(4),
+        )
+        assert info.interrupted
+        assert info.sampling_iters == 4
+        assert draws.shape[0] == 4
+        # the partial draws are exactly the uninterrupted run's prefix
+        np.testing.assert_array_equal(draws, np.asarray(full[1])[:4])
+        np.testing.assert_array_equal(logps, np.asarray(full[2])[:4])
+
+    def test_sampling_interrupt_device_draws_prefix(self, setup):
+        logp_grad, ws0, wcfg, scfg = setup
+        ws, _, _, info0 = run_warmup(logp_grad, ws0, wcfg, scfg)
+        params = jax.vmap(freeze_params)(ws)
+        ss = jax.vmap(init_sample_state)(ws)
+        full = run_sampling(logp_grad, ss, params, scfg, info=info0,
+                            batched=True)
+        _, draws, _, info = run_sampling(
+            logp_grad, ss, params, scfg, info=info0, batched=True,
+            device_draws=True, progress=_interrupting(8),
+        )
+        assert info.interrupted and draws.shape[0] == 8
+        np.testing.assert_array_equal(np.asarray(draws),
+                                      np.asarray(full[1])[:8])
+
+    def test_warmup_interrupt_keeps_adaptation(self, setup):
+        logp_grad, ws0, wcfg, scfg = setup
+        ws, _, _, info = run_warmup(logp_grad, ws0, wcfg, scfg,
+                                    progress=_interrupting(8),
+                                    batched=True)
+        assert info.interrupted
+        assert info.warmup_iters == 8
+        # the partially adapted state matches an 8-iteration warmup
+        short = WarmupConfig(min_iter=8, max_iter=8, block_size=4)
+        ws8, _, _, _ = run_warmup(logp_grad, ws0, short, scfg,
+                                  batched=True)
+        np.testing.assert_array_equal(np.asarray(ws.theta),
+                                      np.asarray(ws8.theta))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(ws.key)),
+            np.asarray(jax.random.key_data(ws8.key)),
+        )
+
+
+class TestApiInterrupt:
+    def _run(self, tmp=None, **kw):
+        defaults = dict(
+            num_params=DIM, num_chains=3, seed=77,
+            min_warmup_iter=12, max_warmup_iter=12,
+            min_sampling_iter=12, max_sampling_iter=12,
+            block_size=4, return_info=True,
+        )
+        defaults.update(kw)
+        if tmp is not None:
+            defaults["checkpoint_dir"] = str(tmp)
+        return walnuts(LOGP, **defaults)
+
+    def test_warmup_interrupt_yields_zero_draws(self, monkeypatch):
+        """api.py's warmup-interrupt path: the run stops, reporting the
+        adaptation reached with zero sampling draws."""
+        import builtins
+
+        real_print = builtins.print
+
+        def raising_print(*args, **kw):
+            if args and "Warmup" in str(args[0]):
+                raise KeyboardInterrupt
+            return real_print(*args, **kw)
+
+        monkeypatch.setattr(builtins, "print", raising_print)
+        outputs, info = self._run(refresh=4)
+        assert info.interrupted
+        assert all(np.asarray(o).shape[0] == 0 for o in outputs)
+
+    def test_sampling_interrupt_partial_then_checkpoint_resume(
+        self, monkeypatch, tmp_path
+    ):
+        """Ctrl-C mid-sampling keeps the partial draws; re-running from
+        the checkpoint completes the run bitwise."""
+        plain, _ = self._run()
+
+        import builtins
+
+        real_print = builtins.print
+
+        def raising_print(*args, **kw):
+            if args and "Sampling" in str(args[0]) and "Iteration 8" in str(
+                    args[0]):
+                raise KeyboardInterrupt
+            return real_print(*args, **kw)
+
+        monkeypatch.setattr(builtins, "print", raising_print)
+        partial, info = self._run(tmp_path / "ck", refresh=4)
+        assert info.interrupted
+        assert all(np.asarray(o).shape[0] == 8 for o in partial)
+        for a, b in zip(partial, plain):
+            np.testing.assert_array_equal(np.asarray(a),
+                                          np.asarray(b)[:8])
+
+        monkeypatch.setattr(builtins, "print", real_print)
+        resumed, info2 = self._run(tmp_path / "ck", refresh=0)
+        assert not info2.interrupted
+        for a, b in zip(resumed, plain):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

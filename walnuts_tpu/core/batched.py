@@ -1514,16 +1514,24 @@ def make_batched_sample_block(
         ], 0)
         mm = jnp.broadcast_to(min_micro, (C,)).astype(jnp.int32)[None]
         cap2 = jnp.reshape(cap, (1, 1)).astype(jnp.int32)
+        # chain-minor views: moveaxis on the carried chain-minor
+        # layouts ({0,2,1}-style) is a pure bitcast, so the kernel sees
+        # the carry's physical bytes without boundary transposes (the
+        # row-major first integration paid ~130 us/pass in layout
+        # copies — measured, round-4 profile)
+        cm = lambda x: jnp.moveaxis(x, 0, -1)
         (fpk, ipk, bpk, upk, acc_v, agb, ags, agf, stack_e, run_sel,
          rsg, ms, cur, bt, bl, bd) = _fp.fused_pass_call(
-            fpk, ipk, bpk, upk, st.acc_v, st.acc_grad_bk,
-            st.acc_grad_sel, st.acc_grad_fw, st.stack_e, st.run_sel,
-            st.run_sel_grad, st.ms, st.cur, bt, bl, bd,
-            st.fwd, inv_mass, rof, mm, cap2,
+            fpk, ipk, bpk, upk, cm(st.acc_v), cm(st.acc_grad_bk),
+            cm(st.acc_grad_sel), cm(st.acc_grad_fw), cm(st.stack_e),
+            cm(st.run_sel), cm(st.run_sel_grad), cm(st.ms), cm(st.cur),
+            bt, bl, bd,
+            cm(st.fwd), cm(inv_mass), rof, mm, cap2,
             max_depth=max_depth, n_slots=n_slots, B=B,
             R=int(block_draws), ct=_pass_ct(C, D),
             interpret=jax.default_backend() != "tpu",
         )
+        mc = lambda x: jnp.moveaxis(x, -1, 0)
         impl = jax.random.key_impl(st.key)
         st = st._replace(
             run_sel_logp=fpk[0], run_logw=fpk[1], ms_joint=fpk[2],
@@ -1537,9 +1545,10 @@ def make_batched_sample_block(
             forward=bpk[0], leaf_done=bpk[1], leaf_ok=bpk[2],
             key=jax.random.wrap_key_data(upk[:2].T, impl=impl),
             ku=upk[2:4].T.astype(st.ku.dtype),
-            acc_v=acc_v, acc_grad_bk=agb, acc_grad_sel=ags,
-            acc_grad_fw=agf, stack_e=stack_e, run_sel=run_sel,
-            run_sel_grad=rsg, ms=ms, cur=cur,
+            acc_v=mc(acc_v), acc_grad_bk=mc(agb), acc_grad_sel=mc(ags),
+            acc_grad_fw=mc(agf), stack_e=mc(stack_e),
+            run_sel=mc(run_sel), run_sel_grad=mc(rsg), ms=mc(ms),
+            cur=mc(cur),
         )
         return st, bt, bl, bd
 
@@ -1568,7 +1577,12 @@ def make_batched_sample_block(
             fails0 = state.fails
 
         bufC = (C, 2) if multiplex else (C,)
-        buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
+        if pallas_pass:
+            # the fused pass banks draws chain-minor: (B, D, C); the
+            # emitted block transposes back once after the scan
+            buf_theta = jnp.zeros((B, D, C), dtype)
+        else:
+            buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
         buf_logp = jnp.full((B,) + bufC, -jnp.inf, dtype)
         buf_depth = jnp.zeros((B,) + bufC, jnp.int32)
 
@@ -1734,6 +1748,8 @@ def make_batched_sample_block(
             (state, buf_theta, buf_logp, buf_depth, trips0),
             jnp.arange(R),
         )
+        if pallas_pass:  # (R, D, C) chain-minor emissions -> (R, C, D)
+            draws = jnp.moveaxis(draws, -1, 1)
         if multiplex:
             keys_ct, ng_ct, fails_ct = _per_chain(state)
             return BatchedBlockResult(
@@ -1783,7 +1799,12 @@ def make_batched_sample_block(
             fails0 = state.fails
 
         bufC = (C, 2) if multiplex else (C,)
-        buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
+        if pallas_pass:
+            # the fused pass banks draws chain-minor: (B, D, C); the
+            # emitted block transposes back once after the scan
+            buf_theta = jnp.zeros((B, D, C), dtype)
+        else:
+            buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
         buf_logp = jnp.full((B,) + bufC, -jnp.inf, dtype)
         buf_depth = jnp.zeros((B,) + bufC, jnp.int32)
 

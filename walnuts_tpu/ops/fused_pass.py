@@ -17,20 +17,31 @@ lanes — its only cross-lane reduction is the replay-loop BOUND, which
 tightens per tile — so a 1-D grid over chain tiles needs no cross-tile
 communication.
 
-Data layout (all measured constraints, see the round-4 spikes):
+Data layout — CHAIN-MINOR, matching the while carry's physical bytes
+(every rule below is a measured constraint from the round-4 spikes and
+the first integrated profile):
 
-* Row state keeps its natural ``(C, ..., D)`` shapes, block-tiled over
-  the chain axis.
-* Per-lane SCALARS ride as stacked ``(n_fields, C)`` packs — the chain
-  axis stays the minor (lane) dimension, so the boundary ``jnp.stack``
-  is a cheap lane-vector concat, in-kernel loads ``pack[j]`` are lane
-  vectors, and scalar arithmetic runs at full VPU width. (1-D ``(C,)``
-  refs cannot be block-tiled on TPU — Mosaic requires dynamic indices
-  be multiples of the 1024-element 1-D tile — and ``(C, 1)`` columns
-  pad the minor dim to 128, a 128x bloat.)
-* Lane-vector masks broadcast into row space via ``m[:, None]`` — a
-  lane->sublane relayout Mosaic inserts where needed (measured cheap
-  enough at the pass's ~30 sites).
+* XLA lays the batched scheduler's carried row state chain-minor
+  (``f32[4096,5,101]{0,2,1}`` — the chain axis rides the 128 vector
+  lanes). A row-major (chain-leading) kernel therefore cost a ~130
+  us/pass round-trip of layout copies at the call boundary (measured,
+  first integration). The kernel instead takes ``(..., D, C)`` views —
+  ``jnp.moveaxis(x, 0, -1)`` on a chain-minor array is a pure bitcast —
+  and tiles the minor chain axis.
+* Per-lane SCALARS ride as stacked ``(n_fields, C)`` packs: the
+  boundary ``jnp.stack`` is a cheap lane-vector concat, in-kernel loads
+  ``pack[j]`` are lane vectors, scalar math runs at full VPU width, and
+  scalar->row broadcasts are free sublane broadcasts (``m[None, :]``).
+  (1-D ``(C,)`` refs cannot be block-tiled on TPU — Mosaic requires
+  dynamic indices be multiples of the 1024-element 1-D tile — and
+  ``(C, 1)`` columns pad the minor dim to 128, a 128x bloat.)
+* The feature axis lands on SUBLANES: padding is 101 -> 104 (~3%)
+  instead of the chain-leading layout's 101 -> 128 lanes (~27%) — the
+  kernel body is VPU-issue-bound, so row-op width is wall time.
+* Mosaic cannot lower i1 minor-dim broadcasts or bool-valued selects
+  (``select_n`` on i1 -> an unsupported i8->i1 truncate); bool masks
+  broadcast with a leading ``[None, :]`` and bool selects are and/or
+  logic.
 
 Scope: the DEFAULT sampling configuration of
 ``make_batched_sample_block`` (``defer_splits=True`` and no
@@ -116,15 +127,15 @@ def _uniform01(k0, k1, j, dtype):
     return jax.lax.bitcast_convert_type(fb, dtype) - jnp.asarray(1.0, dtype)
 
 
-def _normal_row(k0, k1, D, dtype):
+def _normal_rows(k0, k1, D, dtype):
     """jax.random.normal(key, (D,)) batched over lanes: (CT,) key words
-    -> (CT, D). Counter j runs along the row axis (ops/prng.py
-    normal_from_data)."""
-    shape = (k0.shape[0], D)
-    idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    -> (D, CT) with the counter along the SUBLANE (feature) axis
+    (ops/prng.py normal_from_data, chain-minor orientation)."""
+    shape = (D, k0.shape[0])
+    idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     zero = jnp.zeros(shape, jnp.uint32)
-    x0, x1 = _threefry2x32(k0[:, None] + jnp.uint32(0),
-                           k1[:, None] + jnp.uint32(0), zero, idx)
+    x0, x1 = _threefry2x32(k0[None, :] + jnp.uint32(0),
+                           k1[None, :] + jnp.uint32(0), zero, idx)
     if jnp.finfo(dtype).bits == 64:
         bits = (x0.astype(jnp.uint64) << jnp.uint64(32)) | x1.astype(
             jnp.uint64
@@ -147,26 +158,15 @@ def _normal_row(k0, k1, D, dtype):
 def _ctz(x):
     """count_trailing_zeros via the float-exponent trick (exact for the
     power-of-two low bit, x < 2^24): Mosaic-safe replacement for
-    lax.population_count. Identical integers to ops.math's version."""
+    lax.population_count. Identical integers to ops.math's version.
+    Mosaic lacks the u32->f32 cast; the isolated low bit is tiny
+    (leaf_idx + 1 <= 2^(max_depth-1)), so route through int32."""
     x = x.astype(jnp.uint32)
     low = x & (~x + jnp.uint32(1))
-    # Mosaic lacks the u32->f32 cast; the isolated low bit is tiny
-    # (leaf_idx + 1 <= 2^(max_depth-1)), so route through int32
     f = low.astype(jnp.int32).astype(jnp.float32)
     expo = (jax.lax.bitcast_convert_type(f, jnp.uint32)
             >> jnp.uint32(23)).astype(jnp.int32) - 127
     return expo
-
-
-
-def _bcol(m):
-    """Broadcast a lane-vector bool mask into row (column) space.
-
-    Mosaic cannot insert a minor dim on i1 vectors ("Insertion of minor
-    dim that is not a no-op only supported for 32-bit types", measured
-    round 4), so the mask rides to column layout as int32 and converts
-    back with a compare."""
-    return m.astype(jnp.int32)[:, None] != 0
 
 
 def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
@@ -206,39 +206,38 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
         step = rof_r[_R_STEP]
         min_micro = mm_r[0]
         cap = cap_r[0, 0]
-        fwd = fwd_r[:]          # (ct, 3, D)
-        inv_mass = im_r[:]      # (ct, D)
+        inv_mass = im_r[:]      # (D, ct)
 
         active = draws_done < cap
 
         # ---- _resolve_pending, op for op (core/batched.py:743-1343,
-        # base configuration) ----
+        # base configuration); rows are (D, ct), lane vectors (ct,) ----
         pend = active & leaf_done
         leaf_ok = pend & leaf_ok_in
         leaf_fail = pend & ~leaf_ok_in
         end1 = leaf_end_at
 
-        leaf_th, leaf_rho = fwd[:, 0], fwd[:, 1]
+        leaf_th, leaf_rho = fwd_r[0], fwd_r[1]
         sgn = jnp.where(forward, jnp.asarray(1.0, dtype),
                         jnp.asarray(-1.0, dtype))
 
         def uturn_end(old_th, old_rho):
-            delta = sgn[:, None] * inv_mass * (leaf_th - old_th)
-            return (jnp.sum(leaf_rho * delta, axis=-1) < 0) | (
-                jnp.sum(old_rho * delta, axis=-1) < 0
+            delta = sgn[None, :] * inv_mass * (leaf_th - old_th)
+            return (jnp.sum(leaf_rho * delta, axis=0) < 0) | (
+                jnp.sum(old_rho * delta, axis=0) < 0
             )
 
         n_merges = _ctz(leaf_idx + 1)
         # merge cascade — static masked sweep over the VMEM-resident
         # slot rows
-        cur_end_th, cur_end_rho = fwd[:, 0], fwd[:, 1]
+        cur_end_th, cur_end_rho = fwd_r[0], fwd_r[1]
         ok = jnp.ones_like(leaf_ok)
         for j in range(n_slots):
             do = leaf_ok & (j < n_merges) & ok
-            sth, srho = stack_r[:, j, 0, :], stack_r[:, j, 1, :]
+            sth, srho = stack_r[j, 0], stack_r[j, 1]
             ut = uturn_end(sth, srho)
-            cur_end_th = jnp.where(_bcol(do), sth, cur_end_th)
-            cur_end_rho = jnp.where(_bcol(do), srho, cur_end_rho)
+            cur_end_th = jnp.where(do[None, :], sth, cur_end_th)
+            cur_end_rho = jnp.where(do[None, :], srho, cur_end_rho)
             ok = ok & ~(do & ut)
         sub_uturn = leaf_ok & ~ok
         leaf_ok = leaf_ok & ok
@@ -273,10 +272,9 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
         upd = leaf_ok & take_leaf
 
         # top-level Metropolis + combined U-turn on subtree completion
-        acc_old_th = jnp.where(_bcol(forward), acc_v_r[:, _THETA_BK, :],
-                               acc_v_r[:, _THETA_FW, :])
-        acc_old_rho = jnp.where(_bcol(forward), acc_v_r[:, _RHO_BK, :],
-                                acc_v_r[:, _RHO_FW, :])
+        fw1 = forward[None, :]
+        acc_old_th = jnp.where(fw1, acc_v_r[_THETA_BK], acc_v_r[_THETA_FW])
+        acc_old_rho = jnp.where(fw1, acc_v_r[_RHO_BK], acc_v_r[_RHO_FW])
         ut_top = uturn_end(acc_old_th, acc_old_rho)
         take_new = jnp.log(u_met) < run_logw_new - acc_s[_LOGW]
         upd_fw = subtree_done & forward
@@ -294,29 +292,30 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
             jnp.where(exhausted, jnp.int32(max_depth + 1), out_depth),
         )
 
-        run_sel_v = jnp.where(_bcol(upd), fwd[:, 0], run_sel_r[:])
+        u1 = upd[None, :]
+        run_sel_v = jnp.where(u1, fwd_r[0], run_sel_r[:])
         run_sel_logp_v = jnp.where(upd, fwd_logp_pos, run_sel_logp)
-        run_sel_grad_v = jnp.where(_bcol(upd), fwd[:, 2], rsg_r[:])
+        run_sel_grad_v = jnp.where(u1, fwd_r[2], rsg_r[:])
 
-        sel_theta = jnp.where(_bcol(take), run_sel_v,
-                              acc_v_r[:, _THETA_SEL, :])
+        t1 = take[None, :]
+        sel_theta = jnp.where(t1, run_sel_v, acc_v_r[_THETA_SEL])
         sel_logp = jnp.where(take, run_sel_logp_v, acc_s[_LOGP_SEL])
-        sel_grad = jnp.where(_bcol(take), run_sel_grad_v, ags_r[:])
+        sel_grad = jnp.where(t1, run_sel_grad_v, ags_r[:])
 
         new_draws_done = draws_done + complete.astype(jnp.int32)
         restart = complete & (new_draws_done < R)
-        r1 = _bcol(restart)
+        r1 = restart[None, :]
 
         # ---- _fresh_trajectory (core/batched.py:403-420) on raw key
         # data: a 3-way split, momentum ~ N(0, M), direction bernoulli
-        D = inv_mass.shape[-1]
+        D = inv_mass.shape[0]
         kn0, kn1 = _tf(k0, k1, 0)
         ks1_0, ks1_1 = _tf(k0, k1, 1)
         ks2_0, ks2_1 = _tf(k0, k1, 2)
-        z = _normal_row(ks1_0, ks1_1, D, dtype)
+        z = _normal_rows(ks1_0, ks1_1, D, dtype)
         rho0 = z / jnp.sqrt(inv_mass)
         joint0 = sel_logp + (
-            -0.5 * jnp.sum(inv_mass * jnp.square(rho0), axis=-1)
+            -0.5 * jnp.sum(inv_mass * jnp.square(rho0), axis=0)
         )
         # bernoulli's default p = 0.5 is a Python float: the comparison
         # uniform's width follows the canonical float dtype (f64 under
@@ -329,37 +328,35 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
 
         # ---- single-pass merged field writes ----
         # boolean selects as logic ops: select_n on i1 values lowers to
-        # an i8->i1 truncate Mosaic rejects ("Unsupported target
-        # bitwidth for truncation", measured round 4)
+        # an i8->i1 truncate Mosaic rejects (measured round 4)
         dir_deep = (deeper & (u_dir < jnp.asarray(0.5, dtype))) | (
             ~deeper & forward
         )
         new_dir = (restart & forward0) | (~restart & dir_deep)
-        nd1 = _bcol(new_dir)
+        nd1 = new_dir[None, :]
+        ufw1 = upd_fw[None, :]
+        ubk1 = upd_bk[None, :]
         acc_grad_fw = jnp.where(r1, sel_grad,
-                                jnp.where(_bcol(upd_fw), fwd[:, 2],
-                                          agf_r[:]))
+                                jnp.where(ufw1, fwd_r[2], agf_r[:]))
         acc_grad_bk = jnp.where(r1, sel_grad,
-                                jnp.where(_bcol(upd_bk), fwd[:, 2],
-                                          agb_r[:]))
+                                jnp.where(ubk1, fwd_r[2], agb_r[:]))
         acc_grad_sel = jnp.where(r1, sel_grad,
-                                 jnp.where(_bcol(take), sel_grad,
-                                           ags_r[:]))
+                                 jnp.where(t1, sel_grad, ags_r[:]))
         acc_v_bk_th = jnp.where(r1, sel_theta,
-                                jnp.where(_bcol(upd_bk), fwd[:, 0],
-                                          acc_v_r[:, _THETA_BK, :]))
+                                jnp.where(ubk1, fwd_r[0],
+                                          acc_v_r[_THETA_BK]))
         acc_v_bk_rho = jnp.where(r1, rho0,
-                                 jnp.where(_bcol(upd_bk), fwd[:, 1],
-                                           acc_v_r[:, _RHO_BK, :]))
+                                 jnp.where(ubk1, fwd_r[1],
+                                           acc_v_r[_RHO_BK]))
         acc_v_fw_th = jnp.where(r1, sel_theta,
-                                jnp.where(_bcol(upd_fw), fwd[:, 0],
-                                          acc_v_r[:, _THETA_FW, :]))
+                                jnp.where(ufw1, fwd_r[0],
+                                          acc_v_r[_THETA_FW]))
         acc_v_fw_rho = jnp.where(r1, rho0,
-                                 jnp.where(_bcol(upd_fw), fwd[:, 1],
-                                           acc_v_r[:, _RHO_FW, :]))
+                                 jnp.where(ufw1, fwd_r[1],
+                                           acc_v_r[_RHO_FW]))
         acc_v_sel = jnp.where(r1, sel_theta,
-                              jnp.where(_bcol(take), sel_theta,
-                                        acc_v_r[:, _THETA_SEL, :]))
+                              jnp.where(t1, sel_theta,
+                                        acc_v_r[_THETA_SEL]))
         acc_s_bk = jnp.where(restart, joint0,
                              jnp.where(upd_bk, fwd_joint, acc_s[_LOGP_BK]))
         acc_s_fw = jnp.where(restart, joint0,
@@ -377,26 +374,23 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
         acc_end_grad = jnp.where(nd1, acc_grad_fw, acc_grad_bk)
         acc_end_joint = jnp.where(new_dir, acc_s_fw, acc_s_bk)
 
-        d2 = _bcol(deeper)
-        p2 = _bcol(push)
+        d2 = deeper[None, :]
+        p2 = push[None, :]
         ms_th = jnp.where(r1, sel_theta,
                           jnp.where(d2, acc_end_th,
-                                    jnp.where(p2, fwd[:, 0],
-                                              ms_r[:, 0, :])))
+                                    jnp.where(p2, fwd_r[0], ms_r[0])))
         ms_rho = jnp.where(r1, rho0,
                            jnp.where(d2, acc_end_rho,
-                                     jnp.where(p2, fwd[:, 1],
-                                               ms_r[:, 1, :])))
+                                     jnp.where(p2, fwd_r[1], ms_r[1])))
         ms_grad = jnp.where(r1, sel_grad,
                             jnp.where(d2, acc_end_grad,
-                                      jnp.where(p2, fwd[:, 2],
-                                                ms_r[:, 2, :])))
+                                      jnp.where(p2, fwd_r[2], ms_r[2])))
         ms_joint_v = jnp.where(restart, joint0,
                                jnp.where(deeper, acc_end_joint,
                                          jnp.where(push, fwd_joint,
                                                    ms_joint)))
         rc = restart | cont_m
-        rc1 = _bcol(rc)
+        rc1 = rc[None, :]
 
         # ---- write tile ----
         fp_o[_F_RUN_SEL_LOGP] = jnp.where(restart, sel_logp,
@@ -443,29 +437,27 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
         up_o[_U_KEY1] = jnp.where(restart, kn1, k1)
         up_o[_U_KU0] = ku0
         up_o[_U_KU1] = ku1
-        acc_v_o[:, _THETA_BK, :] = acc_v_bk_th
-        acc_v_o[:, _RHO_BK, :] = acc_v_bk_rho
-        acc_v_o[:, _THETA_FW, :] = acc_v_fw_th
-        acc_v_o[:, _RHO_FW, :] = acc_v_fw_rho
-        acc_v_o[:, _THETA_SEL, :] = acc_v_sel
+        acc_v_o[_THETA_BK] = acc_v_bk_th
+        acc_v_o[_RHO_BK] = acc_v_bk_rho
+        acc_v_o[_THETA_FW] = acc_v_fw_th
+        acc_v_o[_RHO_FW] = acc_v_fw_rho
+        acc_v_o[_THETA_SEL] = acc_v_sel
         agb_o[:] = acc_grad_bk
         ags_o[:] = acc_grad_sel
         agf_o[:] = acc_grad_fw
         # stack push — static masked sweep
         for j in range(n_slots):
-            wm = _bcol(push & (n_merges == j))
-            stack_o[:, j, 0, :] = jnp.where(wm, cur_end_th,
-                                            stack_r[:, j, 0, :])
-            stack_o[:, j, 1, :] = jnp.where(wm, cur_end_rho,
-                                            stack_r[:, j, 1, :])
+            wm = (push & (n_merges == j))[None, :]
+            stack_o[j, 0] = jnp.where(wm, cur_end_th, stack_r[j, 0])
+            stack_o[j, 1] = jnp.where(wm, cur_end_rho, stack_r[j, 1])
         run_sel_o[:] = jnp.where(r1, sel_theta, run_sel_v)
         rsg_o[:] = jnp.where(r1, sel_grad, run_sel_grad_v)
-        ms_o[:, 0, :] = ms_th
-        ms_o[:, 1, :] = ms_rho
-        ms_o[:, 2, :] = ms_grad
-        cur_o[:, 0, :] = jnp.where(rc1, ms_th, cur_r[:, 0, :])
-        cur_o[:, 1, :] = jnp.where(rc1, ms_rho, cur_r[:, 1, :])
-        cur_o[:, 2, :] = jnp.where(rc1, ms_grad, cur_r[:, 2, :])
+        ms_o[0] = ms_th
+        ms_o[1] = ms_rho
+        ms_o[2] = ms_grad
+        cur_o[0] = jnp.where(rc1, ms_th, cur_r[0])
+        cur_o[1] = jnp.where(rc1, ms_rho, cur_r[1])
+        cur_o[2] = jnp.where(rc1, ms_grad, cur_r[2])
 
         # ---- draw banking (sample_block outer_body) — static masked
         # sweep over the B buffer rows ----
@@ -473,7 +465,7 @@ def _make_kernel(max_depth: int, n_slots: int, B: int, R: int):
         slot = bank_idx % B
         for j in range(B):
             mj = complete & (slot == j)
-            bt_o[j] = jnp.where(_bcol(mj), sel_theta, bt_r[j])
+            bt_o[j] = jnp.where(mj[None, :], sel_theta, bt_r[j])
             bl_o[j] = jnp.where(mj, sel_logp, bl_r[j])
             bd_o[j] = jnp.where(mj, out_depth_v, bd_r[j])
 
@@ -493,8 +485,10 @@ def fused_pass_call(fp, ip, bp, up, acc_v, agb, ags, agf, stack_e,
 
     Packs: ``fp`` (KF, C) float, ``ip`` (KI, C) i32, ``bp`` (KB, C)
     bool, ``up`` (KU, C) u32, ``rof`` (KR, C) float read-only, ``mm``
-    (1, C) i32 read-only, ``cap`` (1, 1) i32. Rows keep their LaneState
-    shapes. Returns the 16 read-write arrays updated, aliased in-place.
+    (1, C) i32 read-only, ``cap`` (1, 1) i32. Row state arrives
+    CHAIN-MINOR — ``(..., D, C)`` views of the LaneState arrays (pure
+    bitcasts of their carried layout). Returns the 16 read-write arrays
+    updated, aliased in-place.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -504,30 +498,17 @@ def fused_pass_call(fp, ip, bp, up, acc_v, agb, ags, agf, stack_e,
         raise ValueError(f"chain tile {ct} must divide the batch {C}")
     grid = (C // ct,)
 
-    def pack_spec(k):
-        return pl.BlockSpec((k, ct), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-
-    def row_spec(x):
-        return pl.BlockSpec((ct,) + x.shape[1:],
-                            lambda i: (i,) + (0,) * (x.ndim - 1),
-                            memory_space=pltpu.VMEM)
-
-    def bank_spec(x):
-        return pl.BlockSpec((x.shape[0], ct) + x.shape[2:],
-                            lambda i: (0, i) + (0,) * (x.ndim - 2),
+    def cm_spec(x):
+        # chain-minor: tile the LAST axis, carry the rest whole
+        return pl.BlockSpec(x.shape[:-1] + (ct,),
+                            lambda i, nd=x.ndim: (0,) * (nd - 1) + (i,),
                             memory_space=pltpu.VMEM)
 
     rw_inputs = (fp, ip, bp, up, acc_v, agb, ags, agf, stack_e,
                  run_sel, rsg, ms, cur, bt, bl, bd)
-    rw_specs = (
-        [pack_spec(KF), pack_spec(KI), pack_spec(KB), pack_spec(KU)]
-        + [row_spec(x) for x in (acc_v, agb, ags, agf, stack_e,
-                                 run_sel, rsg, ms, cur)]
-        + [bank_spec(x) for x in (bt, bl, bd)]
-    )
+    rw_specs = [cm_spec(x) for x in rw_inputs]
     in_specs = rw_specs + [
-        row_spec(fwd), row_spec(inv_mass), pack_spec(KR), pack_spec(1),
+        cm_spec(fwd), cm_spec(inv_mass), cm_spec(rof), cm_spec(mm),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in rw_inputs]

@@ -17,6 +17,9 @@ nondeterminism (docs/py.rst "Note on reproducibility").
 
 from __future__ import annotations
 
+import os
+import time
+
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional, Tuple
@@ -120,6 +123,56 @@ def _sampling_rhat(state: SampleState) -> Array:
     return jnp.sqrt(1.0 + var_of_means / jnp.mean(variances))
 
 
+class _BlockBudget:
+    """Automatic block-size capping (VERDICT r3 item 7).
+
+    The axon TPU worker kills single jitted blocks running longer than
+    ~1 minute (docs/BENCHMARKS.md round-2 root cause), and any
+    preemptible deployment benefits from bounded block walls. Rather
+    than asking users to hand-tune ``block_size`` per model (the old SV
+    folklore), the first two blocks of each phase are timed (one
+    ``block_until_ready`` each — the only pipelining perturbation) and
+    the per-draw device cost estimate shrinks subsequent block lengths
+    to fit ``WALNUTS_BLOCK_BUDGET`` seconds (default 45; 0 disables).
+    The estimate takes the MIN of the two blocks so a cold-compile
+    first block does not over-shrink; draws are bitwise unaffected
+    (block length is pure scheduling — tests/test_runtime.py guards
+    block-size invariance).
+    """
+
+    def __init__(self, budget, cap):
+        if budget is None:
+            budget = float(os.environ.get("WALNUTS_BLOCK_BUDGET", 45.0))
+        self.budget = float(budget)
+        self.cap = int(cap)
+        self._timed = 0
+        self._est = None
+        self._t0 = None
+
+    def start(self):
+        self._t0 = (
+            time.time() if self.budget > 0 and self._timed < 2 else None
+        )
+
+    def finish(self, state, n: int):
+        if self._t0 is None:
+            return
+        jax.block_until_ready(state)
+        dt = time.time() - self._t0
+        self._t0 = None
+        self._est = dt if self._est is None else min(self._est, dt)
+        self._timed += 1
+        per_draw = self._est / max(int(n), 1)
+        # shrink immediately when one block already blew the budget;
+        # otherwise decide once both timing blocks are in
+        if self._est > self.budget or (
+            self._timed == 2 and per_draw * self.cap > self.budget
+        ):
+            new_cap = max(1, int(self.budget / per_draw * 0.8))
+            if new_cap < self.cap:
+                self.cap = new_cap
+
+
 def run_warmup(
     logp_grad: LogpGradFn,
     state: WarmupState,
@@ -143,6 +196,7 @@ def run_warmup(
     speculate: bool = False,
     multiplex: bool = False,
     bounded_sweeps: Optional[bool] = None,
+    block_budget: Optional[float] = None,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
     """Run adaptive warmup with block-synchronous early stopping.
 
@@ -299,6 +353,7 @@ def run_warmup(
     # lands between blocks: adaptation state accumulated so far is kept and
     # warmup ends early rather than tearing the run down.
     wcost = None  # per-lane realized block cost for the group sort
+    _budget = _BlockBudget(block_budget, warmup_cfg.block_size)
     try:
         while it < warmup_cfg.max_iter and not converged:
             # uniform block lengths (at most two distinct scan lengths
@@ -306,13 +361,16 @@ def run_warmup(
             # checked only once min_iter is reached — same [min, max]
             # contract, without a per-configuration recompile of the first
             # block.
-            n = min(warmup_cfg.block_size, warmup_cfg.max_iter - it)
+            n = min(_budget.cap, warmup_cfg.block_size,
+                    warmup_cfg.max_iter - it)
             if it < warmup_cfg.min_iter:
                 n = min(n, warmup_cfg.min_iter - it)
+            _budget.start()
             if batched and batched_groups > 1:
                 state, outs, wcost = run_block_grouped(state, n, wcost)
             else:
                 state, outs = run_block(state, n)
+            _budget.finish(state, n)
             it += n
             if save_warmup:
                 draws_host.append(np.asarray(outs[0]))
@@ -383,6 +441,7 @@ def run_sampling(
     bounded_sweeps: Optional[bool] = None,
     pallas_pass: bool = False,
     pass_tile: Optional[int] = None,
+    block_budget: Optional[float] = None,
 ) -> Tuple[SampleState, np.ndarray, np.ndarray, RunInfo]:
     """Run fixed-parameter sampling with R-hat early stopping.
 
@@ -742,11 +801,14 @@ def run_sampling(
     # On KeyboardInterrupt the draws collected so far are returned (the
     # reference's interrupt path likewise leaves the already-written
     # buffers with the caller).
+    _budget = _BlockBudget(block_budget, sampling_cfg.block_size)
     try:
         while it < sampling_cfg.max_iter and not converged:
-            n = min(sampling_cfg.block_size, sampling_cfg.max_iter - it)
+            n = min(_budget.cap, sampling_cfg.block_size,
+                    sampling_cfg.max_iter - it)
             if it < sampling_cfg.min_iter:
                 n = min(n, sampling_cfg.min_iter - it)
+            _budget.start()
             if batched and batched_groups > 1:
                 state, theta, logp, group_cost = run_block_grouped(
                     state, params, n, group_cost
@@ -757,6 +819,7 @@ def run_sampling(
                 state, bank, theta, logp = run_block_flat(state, bank, params, n)
             else:
                 state, (theta, logp) = run_block(state, params, n)
+            _budget.finish(state, n)
             it += n
             if thin > 1:
                 theta = theta[thin - 1::thin]
