@@ -139,9 +139,10 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         pallas_replay=bool(int(os.environ.get("BENCH_PREPLAY", 0))),
         fresh_cur=bool(int(os.environ.get("BENCH_FRESHCUR", 0))),
         speculate=bool(int(os.environ.get("BENCH_SPEC", 0))) and batched,
-        # fused tier-2 pass kernel (ops/fused_pass.py; round-4 A/B —
-        # BENCH_PPASS=0 reverts to the XLA pass); base config only
-        pallas_pass=bool(int(os.environ.get("BENCH_PPASS", 1))) and batched
+        # fused tier-2 pass kernel (ops/fused_pass.py) — LOST its
+        # round-4 A/B in both kernel orientations (docs/BENCHMARKS.md
+        # "Fused-pass kernel post-mortem"); off by default
+        pallas_pass=bool(int(os.environ.get("BENCH_PPASS", 0))) and batched
         and not any(int(os.environ.get(k, 0)) for k in
                     ("BENCH_SPEC", "BENCH_MULTIPLEX", "BENCH_FRESHCUR",
                      "BENCH_BF16_ENDS")),
