@@ -53,7 +53,11 @@ def setup():
     ws0 = jax.vmap(
         lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
     )(keys, theta0, im0, step0)
-    return logp_grad, ws0, wcfg, scfg
+
+    def fresh():  # the block programs donate their input state
+        return jax.tree.map(lambda x: x.copy(), ws0)
+
+    return logp_grad, fresh, wcfg, scfg
 
 
 def _interrupting(after_iter):
@@ -69,8 +73,8 @@ def _interrupting(after_iter):
 
 class TestRuntimeInterrupt:
     def test_sampling_interrupt_returns_partial_draws(self, setup):
-        logp_grad, ws0, wcfg, scfg = setup
-        ws, _, _, info0 = run_warmup(logp_grad, ws0, wcfg, scfg)
+        logp_grad, fresh, wcfg, scfg = setup
+        ws, _, _, info0 = run_warmup(logp_grad, fresh(), wcfg, scfg)
         params = jax.vmap(freeze_params)(ws)
         ss = jax.vmap(init_sample_state)(ws)
         full = run_sampling(logp_grad, ss, params, scfg, info=info0,
@@ -87,8 +91,8 @@ class TestRuntimeInterrupt:
         np.testing.assert_array_equal(logps, np.asarray(full[2])[:4])
 
     def test_sampling_interrupt_device_draws_prefix(self, setup):
-        logp_grad, ws0, wcfg, scfg = setup
-        ws, _, _, info0 = run_warmup(logp_grad, ws0, wcfg, scfg)
+        logp_grad, fresh, wcfg, scfg = setup
+        ws, _, _, info0 = run_warmup(logp_grad, fresh(), wcfg, scfg)
         params = jax.vmap(freeze_params)(ws)
         ss = jax.vmap(init_sample_state)(ws)
         full = run_sampling(logp_grad, ss, params, scfg, info=info0,
@@ -102,15 +106,15 @@ class TestRuntimeInterrupt:
                                       np.asarray(full[1])[:8])
 
     def test_warmup_interrupt_keeps_adaptation(self, setup):
-        logp_grad, ws0, wcfg, scfg = setup
-        ws, _, _, info = run_warmup(logp_grad, ws0, wcfg, scfg,
+        logp_grad, fresh, wcfg, scfg = setup
+        ws, _, _, info = run_warmup(logp_grad, fresh(), wcfg, scfg,
                                     progress=_interrupting(8),
                                     batched=True)
         assert info.interrupted
         assert info.warmup_iters == 8
         # the partially adapted state matches an 8-iteration warmup
         short = WarmupConfig(min_iter=8, max_iter=8, block_size=4)
-        ws8, _, _, _ = run_warmup(logp_grad, ws0, short, scfg,
+        ws8, _, _, _ = run_warmup(logp_grad, fresh(), short, scfg,
                                   batched=True)
         np.testing.assert_array_equal(np.asarray(ws.theta),
                                       np.asarray(ws8.theta))
@@ -180,3 +184,72 @@ class TestApiInterrupt:
         assert not info2.interrupted
         for a, b in zip(resumed, plain):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBlockBudget:
+    """Automatic block-size capping (runtime._BlockBudget): the first
+    two blocks are timed, and over-budget per-draw estimates shrink the
+    subsequent block cap. Block length is scheduling-only (block-size
+    invariance is guarded by the batched bitwise suite), so the unit
+    tests drive the estimator directly."""
+
+    def test_shrinks_on_over_budget_first_block(self):
+        from walnuts_tpu.parallel.runtime import _BlockBudget
+
+        b = _BlockBudget(0.001, 50)
+        b.start()
+        import time as _t
+
+        _t.sleep(0.05)
+        b.finish(jnp.zeros(()), 50)
+        assert b.cap < 50 and b.cap >= 1
+
+    def test_no_shrink_under_budget(self):
+        from walnuts_tpu.parallel.runtime import _BlockBudget
+
+        b = _BlockBudget(1000.0, 50)
+        for _ in range(2):
+            b.start()
+            b.finish(jnp.zeros(()), 50)
+        assert b.cap == 50
+
+    def test_cold_compile_first_block_uses_min(self):
+        from walnuts_tpu.parallel.runtime import _BlockBudget
+        import time as _t
+
+        b = _BlockBudget(0.08, 50)
+        b.start()
+        _t.sleep(0.1)  # "compile-inflated" first block: over budget
+        b.finish(jnp.zeros(()), 50)
+        first_cap = b.cap
+        assert first_cap < 50  # reacted immediately (can't wait 90s twice)
+        b2 = _BlockBudget(0.08, 50)
+        b2.start()
+        b2.finish(jnp.zeros(()), 50)  # fast block
+        b2.start()
+        _t.sleep(0.1)
+        b2.finish(jnp.zeros(()), 50)  # slow second: min() keeps the fast
+        assert b2.cap == 50
+
+    def test_disabled_with_zero_budget(self):
+        from walnuts_tpu.parallel.runtime import _BlockBudget
+
+        b = _BlockBudget(0.0, 50)
+        b.start()
+        b.finish(jnp.zeros(()), 50)
+        assert b.cap == 50 and b._t0 is None
+
+    def test_end_to_end_caps_blocks(self, setup):
+        """A tiny budget shrinks the realized block schedule (visible
+        through the checkpoint-free draws still being exact — block
+        length is scheduling-only)."""
+        logp_grad, fresh, wcfg, scfg = setup
+        ws, _, _, info0 = run_warmup(logp_grad, fresh(), wcfg, scfg)
+        params = jax.vmap(freeze_params)(ws)
+        ss = jax.vmap(init_sample_state)(ws)
+        base = run_sampling(logp_grad, ss, params, scfg, info=info0,
+                            batched=True, block_budget=0.0)
+        capped = run_sampling(logp_grad, ss, params, scfg, info=info0,
+                              batched=True, block_budget=1e-9)
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(capped[1]))
