@@ -166,6 +166,21 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         draws = np.asarray(draws)
     transfer_time = time.time() - t0
     total_grads = int(np.sum(info.n_grads))
+    # REFERENCE-ACCOUNTING gradient counter (VERDICT r3 item 2): the
+    # batched scheduler caches the trajectory-start gradient within a
+    # block where the reference re-evaluates it every draw
+    # (walnuts.hpp:531-532) — its counter is lower by one per draw per
+    # chain, minus the block entries it does pay. Emitting both lets
+    # the "within 5%" ESS/grad parity claim be judged on like counters.
+    import math
+
+    w_blocks = math.ceil(warmup_iters / min(block, max(warmup_iters, 1)))
+    s_blocks = math.ceil(
+        sampling_iters / min(block, max(sampling_iters, 1)))
+    cached = (
+        n_chains * (warmup_iters - w_blocks + sampling_iters - s_blocks)
+        if batched else 0
+    )
     return {
         "draws": draws,  # (iters, C, D); jax array when dim > 256
         "warmup_time": warmup_time,
@@ -174,6 +189,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         "warmup_grads": warmup_grads,
         "sampling_grads": total_grads - warmup_grads,
         "total_grads": total_grads,
+        "total_grads_ref_acct": total_grads + cached,
     }
 
 
@@ -214,12 +230,15 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     # noise even at 4096 chains (measured, docs/BENCHMARKS.md), so the
     # headline aggregates means over BENCH_SEEDS runs — matching the
     # seed-averaged native baseline (csrc/run_baseline.py). Ratios are
-    # taken of means, not means of ratios. The expensive SV flagship
-    # stays single-seed.
-    n_seeds = int(os.environ.get("BENCH_SEEDS", 1 if model_name == "sv" else 3))
+    # taken of means, not means of ratios. Round 4: the SV flagship runs
+    # 3 seeds too (VERDICT r3 item 2 — its matched parity ratio was
+    # judged on ONE TPU seed; ~40 s/seed is affordable now that the
+    # bench is device-resident end to end).
+    n_seeds = int(os.environ.get("BENCH_SEEDS", 3))
     per_seed_ess = []
     per_seed_time = []  # transient worker slowdowns show up here
     per_seed_grads = []  # per-seed ESS/grad -> parity-ratio seed spread
+    per_seed_grads_ref = []  # reference-accounting counters (see _run_once)
     agg = None
     for s in range(n_seeds):
         r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
@@ -246,6 +265,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
         per_seed_ess.append(float(np.median(ess)))
         per_seed_time.append(round(r["sampling_time"], 3))
         per_seed_grads.append(float(r["total_grads"]))
+        per_seed_grads_ref.append(float(r["total_grads_ref_acct"]))
         r["ess_min"] = float(np.min(ess))
         agg = r if agg is None else {
             k: (v + r[k] if isinstance(v, (int, float)) else r[k])
@@ -265,12 +285,16 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
         "sampling_time_per_seed": per_seed_time,
         "ess_per_grad_per_seed": [e / g for e, g
                                   in zip(per_seed_ess, per_seed_grads)],
+        "ess_per_grad_ref_acct_per_seed": [
+            e / g for e, g in zip(per_seed_ess, per_seed_grads_ref)],
         "ess_min": r.pop("ess_min"),
         "ess_per_sec": float(ess_median / r["sampling_time"]),
         "ess_per_sec_incl_warmup": float(ess_median / total_time),
         "grad_evals_per_sec": float(r["total_grads"] / total_time),
         "sampling_grad_evals_per_sec": float(r["sampling_grads"] / r["sampling_time"]),
         "ess_per_grad": float(ess_median / r["total_grads"]),
+        "ess_per_grad_ref_acct": float(
+            ess_median / r["total_grads_ref_acct"]),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()},
     }
 
@@ -396,6 +420,11 @@ def main():
             if mkey in base:
                 r["ess_per_grad_vs_baseline_matched"] = float(
                     r["ess_per_grad"] / base[mkey]
+                )
+                # like-for-like counters: the batched path's cached
+                # trajectory-start gradients added back (see _run_once)
+                r["ess_per_grad_vs_baseline_matched_ref_acct"] = float(
+                    r["ess_per_grad_ref_acct"] / base[mkey]
                 )
                 # seed-spread interval on the matched ratio: worst-case
                 # pairing of the per-seed ESS/grad ranges on both sides

@@ -662,20 +662,41 @@ class TestBatchedRuntime:
             np.asarray(pb.min_micro), np.asarray(pm.min_micro)
         )
 
+        # Within the async family, run-ahead depth and cost-sorted
+        # groups are scheduling-only: keys/ints are BITWISE across B /
+        # groups, and the warmup floats agree to contraction tolerance.
+        # (Through round 3 the floats were bitwise too — the stacked
+        # acc_v/ms/cur buffers acted as materialisation barriers that
+        # pinned XLA's FMA contraction of the adaptation chain across
+        # programs. The round-4 plane-split removed those stacks for a
+        # measured tier-2 traffic win, so per-program fusion may now
+        # contract the Welford observe differently at different B —
+        # ~5e-14 absolute on this test, the same correctness class as
+        # the classic-vs-async caveat above. SAMPLING B/K-invariance
+        # remains bitwise: no adaptation arithmetic in the pass.)
         for kw in (dict(runahead=1), dict(batched_groups=2)):
             ws_b1, db1, lb1, _ = run_warmup(
                 lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
                 **kw,
             )
-            np.testing.assert_array_equal(np.asarray(db), np.asarray(db1))
-            np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb1))
+            np.testing.assert_allclose(np.asarray(db), np.asarray(db1),
+                                       rtol=1e-9, atol=1e-9)
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(lb1),
+                                       rtol=1e-9, atol=1e-9)
             np.testing.assert_array_equal(
                 jax.random.key_data(ws_b.key),
                 jax.random.key_data(ws_b1.key),
             )
+            np.testing.assert_array_equal(
+                np.asarray(ws_b.iteration), np.asarray(ws_b1.iteration)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ws_b.n_grads), np.asarray(ws_b1.n_grads)
+            )
             for a, b in zip(jax.tree.leaves(ws_b.mass),
                             jax.tree.leaves(ws_b1.mass)):
-                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-9, atol=1e-12)
 
     def test_speculate_warmup_exact_logic_eager(self):
         """Warmup speculation computes the exact same real-number

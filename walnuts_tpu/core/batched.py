@@ -115,12 +115,27 @@ class LaneState(NamedTuple):
     """Per-lane (single chain) state with a leading chain axis on every
     leaf. Vector rows are ``(C, D)`` or stacked ``(C, k, D)``."""
 
-    # --- persistent orbit state (touched once per LEAF, in tier 2) ---
+    # --- persistent orbit state (touched once per LEAF, in tier 2).
+    # Stacked (C, k, D)/(C, k) fields were split into per-plane arrays
+    # in round 4: rebuilding a stacked field costs a jnp.stack whose
+    # output cannot alias its operands, so XLA materialised + COPIED the
+    # whole block every tier-2 pass and read planes back through async
+    # slices (~106 us/pass of pure movement at funnel bench shape —
+    # docs/BENCHMARKS.md "Fused-pass kernel post-mortem"). Per-plane
+    # fields make every update one elementwise ``where`` that aliases
+    # its carry slot in place. ---
     key: Array
     depth: Array           # int32, current doubling (1-based)
     out_depth: Array       # int32, reported depth at termination
-    acc_v: Array           # (C, 5, D) accumulated orbit vectors
-    acc_s: Array           # (C, 4) accumulated orbit scalars
+    acc_th_bk: Array       # (C, D) orbit backward endpoint position
+    acc_rho_bk: Array      # (C, D) orbit backward endpoint momentum
+    acc_th_fw: Array       # (C, D) orbit forward endpoint position
+    acc_rho_fw: Array      # (C, D) orbit forward endpoint momentum
+    acc_th_sel: Array      # (C, D) orbit selected position
+    acc_jt_bk: Array       # (C,) backward endpoint joint density
+    acc_jt_fw: Array       # (C,) forward endpoint joint density
+    acc_lp_sel: Array      # (C,) selected position log density
+    acc_logw: Array        # (C,) orbit log weight
     acc_grad_bk: Array     # (C, D)
     acc_grad_sel: Array    # (C, D)
     acc_grad_fw: Array     # (C, D)
@@ -132,7 +147,9 @@ class LaneState(NamedTuple):
     run_sel_logp: Array
     run_sel_grad: Array    # (C, D)
     run_logw: Array
-    ms: Array              # (C, 3, D) leaf-start [theta, rho, grad]
+    ms_th: Array           # (C, D) leaf-start position
+    ms_rho: Array          # (C, D) leaf-start momentum
+    ms_grad: Array         # (C, D) leaf-start gradient
     ms_joint: Array
     # --- attempt machine (advanced inside the integration loop) ---
     halvings: Array        # int32
@@ -140,11 +157,15 @@ class LaneState(NamedTuple):
     steps_done: Array      # int32
     steps_total: Array     # int32
     phase: Array           # int32
-    cur: Array             # (C, 3, D) cursor [theta, rho, grad]
+    cur_th: Array          # (C, D) cursor position
+    cur_rho: Array         # (C, D) cursor momentum
+    cur_grad: Array        # (C, D) cursor gradient
     lp_cur: Array          # position log density at the cursor
     fresh: Array           # bool: cursor invalid, integrate from ms
                            # (fresh_cur mode; always False otherwise)
-    fwd: Array             # (C, 3, D) saved forward endpoint
+    fwd_th: Array          # (C, D) saved forward endpoint position
+    fwd_rho: Array         # (C, D) saved forward endpoint momentum
+    fwd_grad: Array        # (C, D) saved forward endpoint gradient
     fwd_logp_pos: Array
     fwd_joint: Array
     # --- leaf outcome latches (set by the inner loop, read by tier 2) ---
@@ -406,8 +427,9 @@ def make_batched_sample_block(
     vsplit = jax.vmap(lambda k: jax.random.split(k))
     vsplit3 = jax.vmap(lambda k: jax.random.split(k, 3))
     vleapfrog = jax.vmap(
-        lambda im, dt, c: leapfrog_step(logp_grad, im, dt, c[0], c[1], c[2]),
-        in_axes=(0, 0, 0),
+        lambda im, dt, th, rho, gr: leapfrog_step(logp_grad, im, dt, th,
+                                                  rho, gr),
+        in_axes=(0, 0, 0, 0, 0),
     )
     vlogp_grad = jax.vmap(logp_grad)
 
@@ -427,8 +449,7 @@ def make_batched_sample_block(
         joint0 = logp0 + jax.vmap(logp_momentum)(rho0, inv_mass)
         forward0 = jax.vmap(jax.random.bernoulli)(ks[:, 2])
         dt0 = jnp.where(forward0, step, -step)
-        start = jnp.stack([theta, rho0, grad0], axis=1)  # (C, 3, D)
-        return ks[:, 0], rho0, joint0, forward0, dt0, start
+        return ks[:, 0], rho0, joint0, forward0, dt0
 
     def _lane_state(key, theta, logp0, grad0, step, inv_mass, min_micro,
                     adam, n_grads, fails, parked=None):
@@ -441,17 +462,18 @@ def make_batched_sample_block(
         (cslot, ot_theta, ot_grad, ot_logp, ot_key, ot_draws,
          ot_n_grads, ot_fails, act_step, act_im, act_mm,
          ot_mass, ot_mm_est, ot_adam, ot_iter) = parked
-        knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
+        knew, rho0, joint0, forward0, dt0 = _fresh_trajectory(
             key, theta, logp0, grad0, step, inv_mass
         )
-        acc_v = jnp.stack([theta, rho0, theta, rho0, theta], axis=1)
-        acc_s = jnp.stack([joint0, joint0, logp0, joint0], axis=1)
         return LaneState(
             key=knew,
             depth=jnp.ones((C,), jnp.int32),
             out_depth=jnp.full((C,), max_depth + 1, jnp.int32),
-            acc_v=acc_v,
-            acc_s=acc_s,
+            acc_th_bk=theta, acc_rho_bk=rho0,
+            acc_th_fw=theta, acc_rho_fw=rho0,
+            acc_th_sel=theta,
+            acc_jt_bk=joint0, acc_jt_fw=joint0,
+            acc_lp_sel=logp0, acc_logw=joint0,
             acc_grad_bk=grad0,
             acc_grad_sel=grad0,
             acc_grad_fw=grad0,
@@ -463,21 +485,21 @@ def make_batched_sample_block(
             run_sel_logp=logp0,
             run_sel_grad=grad0,
             run_logw=jnp.full((C,), -jnp.inf, dtype),
-            ms=start,
+            ms_th=theta, ms_rho=rho0, ms_grad=grad0,
             ms_joint=joint0,
             halvings=jnp.zeros((C,), jnp.int32),
             dt=dt0,
             steps_done=jnp.zeros((C,), jnp.int32),
             steps_total=jnp.asarray(min_micro, jnp.int32),
             phase=jnp.zeros((C,), jnp.int32),
-            cur=start,
+            cur_th=theta, cur_rho=rho0, cur_grad=grad0,
             lp_cur=logp0,
             fresh=jnp.zeros((C,), bool),
-            # fwd/fwd_logp_pos/fwd_joint are never read before a passing
-            # forward attempt writes them (same latent-garbage contract
-            # as the classic path's span fields) — initialised to the
-            # start point only to give them a shape
-            fwd=start,
+            # fwd_*/fwd_logp_pos/fwd_joint are never read before a
+            # passing forward attempt writes them (same latent-garbage
+            # contract as the classic path's span fields) — initialised
+            # to the start point only to give them a shape
+            fwd_th=theta, fwd_rho=rho0, fwd_grad=grad0,
             fwd_logp_pos=logp0,
             fwd_joint=joint0,
             leaf_done=jnp.zeros((C,), bool),
@@ -567,18 +589,23 @@ def make_batched_sample_block(
             # the tier-2 pass marked this lane's cursor stale instead of
             # writing cur := ms (fresh_cur mode): materialise the leaf
             # start here, fused into the leapfrog's input read
-            base = jnp.where(s.fresh[:, None, None], s.ms, s.cur)
+            fr = s.fresh[:, None]
+            base = (jnp.where(fr, s.ms_th, s.cur_th),
+                    jnp.where(fr, s.ms_rho, s.cur_rho),
+                    jnp.where(fr, s.ms_grad, s.cur_grad))
         else:
-            base = s.cur
-        th, rho, gr, lp = vleapfrog(inv_mass, s.dt, base)
-        cur_n = jnp.stack([th, rho, gr], axis=1)  # (C, 3, D)
-        cur = jnp.where(run[:, None, None], cur_n, s.cur)
+            base = (s.cur_th, s.cur_rho, s.cur_grad)
+        th, rho, gr, lp = vleapfrog(inv_mass, s.dt, *base)
+        run1 = run[:, None]
+        cur_th = jnp.where(run1, th, s.cur_th)
+        cur_rho = jnp.where(run1, rho, s.cur_rho)
+        cur_grad = jnp.where(run1, gr, s.cur_grad)
         lp_cur = jnp.where(run, lp, s.lp_cur)
         steps_done = s.steps_done + run.astype(jnp.int32)
         n_grads = s.n_grads + run.astype(jnp.int32)
 
         att_done = run & (steps_done >= s.steps_total)
-        joint_n = lp_cur + jax.vmap(logp_momentum)(cur[:, 1], inv_mass)
+        joint_n = lp_cur + jax.vmap(logp_momentum)(cur_rho, inv_mass)
 
         # one key split per attempt end (classic body, transition.py);
         # the subkey's RAW DATA is latched at leaf completion and turned
@@ -636,7 +663,10 @@ def make_batched_sample_block(
         leaf_fail_now = halve_exh | (r_done & r_within)
 
         set_fwd = f_done & f_ok
-        fwd = jnp.where(set_fwd[:, None, None], cur, s.fwd)
+        sf1 = set_fwd[:, None]
+        fwd_th = jnp.where(sf1, cur_th, s.fwd_th)
+        fwd_rho = jnp.where(sf1, cur_rho, s.fwd_rho)
+        fwd_grad = jnp.where(sf1, cur_grad, s.fwd_grad)
         fwd_logp_pos = jnp.where(set_fwd, lp_cur, s.fwd_logp_pos)
         fwd_joint = jnp.where(set_fwd, joint_n, s.fwd_joint)
 
@@ -681,9 +711,15 @@ def make_batched_sample_block(
                        jnp.where(to_rev, s.dt * 2.0, s.dt))
         steps_done = jnp.where(restart | to_rev, jnp.int32(0), steps_done)
         phase = jnp.where(to_rev, jnp.int32(_PH_REV), s.phase)
-        rev_cur = fwd * jnp.asarray([1.0, -1.0, 1.0], dtype)[None, :, None]
-        cur = jnp.where(to_rev[:, None, None], rev_cur,
-                        jnp.where(restart[:, None, None], s.ms, cur))
+        # the reversed cursor is the forward endpoint with its momentum
+        # negated (value-identical to the old [1, -1, 1] row scaling)
+        tr1 = to_rev[:, None]
+        rs1 = restart[:, None]
+        cur_th = jnp.where(tr1, fwd_th, jnp.where(rs1, s.ms_th, cur_th))
+        cur_rho = jnp.where(tr1, -fwd_rho,
+                            jnp.where(rs1, s.ms_rho, cur_rho))
+        cur_grad = jnp.where(tr1, fwd_grad,
+                             jnp.where(rs1, s.ms_grad, cur_grad))
 
         if speculate:
             # speculative-leaf entry: the pending (accepted) leaf's
@@ -693,9 +729,13 @@ def make_batched_sample_block(
             # carry exactly like the tier-2 continue path writes cur, so
             # the leapfrog input stays a materialised buffer and draws
             # stay bitwise); counters latch for the flush rollback.
-            es2 = enter_spec[:, None, None]
-            cur = jnp.where(es2, fwd, cur)
-            ms = jnp.where(es2, fwd, s.ms)
+            es1 = enter_spec[:, None]
+            cur_th = jnp.where(es1, fwd_th, cur_th)
+            cur_rho = jnp.where(es1, fwd_rho, cur_rho)
+            cur_grad = jnp.where(es1, fwd_grad, cur_grad)
+            ms_th = jnp.where(es1, fwd_th, s.ms_th)
+            ms_rho = jnp.where(es1, fwd_rho, s.ms_rho)
+            ms_grad = jnp.where(es1, fwd_grad, s.ms_grad)
             ms_joint = jnp.where(enter_spec, fwd_joint, s.ms_joint)
             l1_logp = jnp.where(enter_spec, fwd_logp_pos, s.l1_logp)
             l1_end_at = jnp.where(enter_spec, n_ends, s.l1_end_at)
@@ -717,20 +757,25 @@ def make_batched_sample_block(
                            dt)
             fresh = s.fresh & ~run if fresh_cur else s.fresh
             return s._replace(
-                key=key, cur=cur, lp_cur=lp_cur, fwd=fwd,
+                key=key, cur_th=cur_th, cur_rho=cur_rho,
+                cur_grad=cur_grad, lp_cur=lp_cur,
+                fwd_th=fwd_th, fwd_rho=fwd_rho, fwd_grad=fwd_grad,
                 fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
                 halvings=halvings, dt=dt, steps_done=steps_done,
                 steps_total=steps_total, phase=phase,
                 leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku,
                 n_ends=n_ends, leaf_end_at=leaf_end_at, adam=adam,
                 n_grads=n_grads, fails=fails, fresh=fresh,
-                ms=ms, ms_joint=ms_joint, spec=spec, l1_logp=l1_logp,
+                ms_th=ms_th, ms_rho=ms_rho, ms_grad=ms_grad,
+                ms_joint=ms_joint, spec=spec, l1_logp=l1_logp,
                 l1_end_at=l1_end_at, l1_n_grads=l1_n_grads,
                 l1_adam=l1_adam, l1_fails=l1_fails,
             )
 
         return s._replace(
-            key=key, cur=cur, lp_cur=lp_cur, fwd=fwd,
+            key=key, cur_th=cur_th, cur_rho=cur_rho, cur_grad=cur_grad,
+            lp_cur=lp_cur,
+            fwd_th=fwd_th, fwd_rho=fwd_rho, fwd_grad=fwd_grad,
             fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
             halvings=halvings, dt=dt, steps_done=steps_done,
             steps_total=steps_total, phase=phase,
@@ -761,21 +806,23 @@ def make_batched_sample_block(
             pend = active & (s.leaf_done | spec)
             # a speculated-over pending leaf is accepted by construction
             ok1 = spec | s.leaf_ok
-            fwd = jnp.where(spec[:, None, None], s.ms, s.fwd)
+            sp1 = spec[:, None]
+            fwd_th = jnp.where(sp1, s.ms_th, s.fwd_th)
+            fwd_rho = jnp.where(sp1, s.ms_rho, s.fwd_rho)
+            fwd_grad = jnp.where(sp1, s.ms_grad, s.fwd_grad)
             fwd_joint = jnp.where(spec, s.ms_joint, s.fwd_joint)
             fwd_logp_pos = jnp.where(spec, s.l1_logp, s.fwd_logp_pos)
             end1 = jnp.where(spec, s.l1_end_at, s.leaf_end_at)
         else:
             pend = active & s.leaf_done
             ok1 = s.leaf_ok
-            fwd, fwd_joint, fwd_logp_pos = (
-                s.fwd, s.fwd_joint, s.fwd_logp_pos
-            )
+            fwd_th, fwd_rho, fwd_grad = s.fwd_th, s.fwd_rho, s.fwd_grad
+            fwd_joint, fwd_logp_pos = s.fwd_joint, s.fwd_logp_pos
             end1 = s.leaf_end_at
         leaf_ok = pend & ok1
         leaf_fail = pend & ~ok1
 
-        leaf_th, leaf_rho = fwd[:, 0], fwd[:, 1]
+        leaf_th, leaf_rho = fwd_th, fwd_rho
         if bf16_ends:
             # round every U-turn operand (classic bf16_ends semantics)
             leaf_th = leaf_th.astype(jnp.bfloat16).astype(dtype)
@@ -821,10 +868,11 @@ def make_batched_sample_block(
 
             _, cur_end, ok = jax.lax.while_loop(
                 lambda c: c[0] < max_m, _cascade_body,
-                (jnp.int32(0), fwd[:, :2], jnp.ones_like(leaf_ok)),
+                (jnp.int32(0), jnp.stack([fwd_th, fwd_rho], axis=1),
+                 jnp.ones_like(leaf_ok)),
             )
         else:
-            cur_end = fwd[:, :2]
+            cur_end = jnp.stack([fwd_th, fwd_rho], axis=1)
             ok = jnp.ones_like(leaf_ok)
             for i in range(n_slots):
                 do = leaf_ok & (i < n_merges) & ok
@@ -988,13 +1036,11 @@ def make_batched_sample_block(
         upd = leaf_ok & take_leaf
 
         # top-level Metropolis + combined U-turn on subtree completion
-        acc_old = jnp.where(
-            s.forward[:, None, None],
-            s.acc_v[:, _THETA_BK:_RHO_BK + 1],
-            s.acc_v[:, _THETA_FW:_RHO_FW + 1],
-        )
-        ut_top = uturn_end(acc_old[:, 0], acc_old[:, 1])
-        take_new = jnp.log(unifs[:, 1]) < run_logw_new - s.acc_s[:, _LOGW]
+        fw1 = s.forward[:, None]
+        acc_old_th = jnp.where(fw1, s.acc_th_bk, s.acc_th_fw)
+        acc_old_rho = jnp.where(fw1, s.acc_rho_bk, s.acc_rho_fw)
+        ut_top = uturn_end(acc_old_th, acc_old_rho)
+        take_new = jnp.log(unifs[:, 1]) < run_logw_new - s.acc_logw
         upd_fw = subtree_done & s.forward
         upd_bk = subtree_done & ~s.forward
         take = subtree_done & take_new
@@ -1011,14 +1057,13 @@ def make_batched_sample_block(
         )
 
         # run-selection values AFTER this leaf (pre-restart)
-        run_sel_v = jnp.where(upd[:, None], fwd[:, 0], s.run_sel)
+        run_sel_v = jnp.where(upd[:, None], fwd_th, s.run_sel)
         run_sel_logp_v = jnp.where(upd, fwd_logp_pos, s.run_sel_logp)
-        run_sel_grad_v = jnp.where(upd[:, None], fwd[:, 2], s.run_sel_grad)
+        run_sel_grad_v = jnp.where(upd[:, None], fwd_grad, s.run_sel_grad)
 
         # emitted draw values (the selected state of the combined orbit)
-        sel_theta = jnp.where(take[:, None], run_sel_v,
-                              s.acc_v[:, _THETA_SEL])
-        sel_logp = jnp.where(take, run_sel_logp_v, s.acc_s[:, _LOGP_SEL])
+        sel_theta = jnp.where(take[:, None], run_sel_v, s.acc_th_sel)
+        sel_logp = jnp.where(take, run_sel_logp_v, s.acc_lp_sel)
         sel_grad = jnp.where(take[:, None], run_sel_grad_v, s.acc_grad_sel)
 
         new_draws_done = s.draws_done + complete.astype(jnp.int32)
@@ -1124,7 +1169,6 @@ def make_batched_sample_block(
             n_grads_t = n_grads_eff
             restart = complete & (new_draws_done < block_draws)
         r1 = restart[:, None]
-        r2 = restart[:, None, None]
 
         if adapt_full:
             # Per-lane warmup adaptation applied AT the lane's own draw
@@ -1193,7 +1237,7 @@ def make_batched_sample_block(
                 step, inv_mass, min_micro
             )
 
-        knew, rho0, joint0, forward0, dt0, start = _fresh_trajectory(
+        knew, rho0, joint0, forward0, dt0 = _fresh_trajectory(
             key_r0, tgt_theta, tgt_logp, tgt_grad, step_next, inv_mass_next
         )
 
@@ -1210,64 +1254,62 @@ def make_batched_sample_block(
         new_dir = jnp.where(restart, forward0,
                             jnp.where(deeper, unifs[:, 2] < 0.5, s.forward))
         nd1 = new_dir[:, None]
+        ufw1 = upd_fw[:, None]
+        ubk1 = upd_bk[:, None]
+        tk1 = take[:, None]
         acc_grad_fw = jnp.where(r1, tgt_grad,
-                                jnp.where(upd_fw[:, None], fwd[:, 2],
-                                          s.acc_grad_fw))
+                                jnp.where(ufw1, fwd_grad, s.acc_grad_fw))
         acc_grad_bk = jnp.where(r1, tgt_grad,
-                                jnp.where(upd_bk[:, None], fwd[:, 2],
-                                          s.acc_grad_bk))
+                                jnp.where(ubk1, fwd_grad, s.acc_grad_bk))
         acc_grad_sel = jnp.where(r1, tgt_grad,
-                                 jnp.where(take[:, None], sel_grad,
-                                           s.acc_grad_sel))
-        acc_v = jnp.stack([
-            jnp.where(r1, tgt_theta,
-                      jnp.where(upd_bk[:, None], fwd[:, 0],
-                                s.acc_v[:, _THETA_BK])),
-            jnp.where(r1, rho0,
-                      jnp.where(upd_bk[:, None], fwd[:, 1],
-                                s.acc_v[:, _RHO_BK])),
-            jnp.where(r1, tgt_theta,
-                      jnp.where(upd_fw[:, None], fwd[:, 0],
-                                s.acc_v[:, _THETA_FW])),
-            jnp.where(r1, rho0,
-                      jnp.where(upd_fw[:, None], fwd[:, 1],
-                                s.acc_v[:, _RHO_FW])),
-            jnp.where(r1, tgt_theta,
-                      jnp.where(take[:, None], sel_theta,
-                                s.acc_v[:, _THETA_SEL])),
-        ], axis=1)
-        acc_s = jnp.stack([
-            jnp.where(restart, joint0,
-                      jnp.where(upd_bk, fwd_joint, s.acc_s[:, _LOGP_BK])),
-            jnp.where(restart, joint0,
-                      jnp.where(upd_fw, fwd_joint, s.acc_s[:, _LOGP_FW])),
-            jnp.where(restart, tgt_logp,
-                      jnp.where(take, sel_logp, s.acc_s[:, _LOGP_SEL])),
-            jnp.where(restart, joint0,
-                      jnp.where(subtree_done,
-                                log_sum_exp(s.acc_s[:, _LOGW], run_logw_new),
-                                s.acc_s[:, _LOGW])),
-        ], axis=1)
+                                 jnp.where(tk1, sel_grad, s.acc_grad_sel))
+        acc_th_bk = jnp.where(r1, tgt_theta,
+                              jnp.where(ubk1, fwd_th, s.acc_th_bk))
+        acc_rho_bk = jnp.where(r1, rho0,
+                               jnp.where(ubk1, fwd_rho, s.acc_rho_bk))
+        acc_th_fw = jnp.where(r1, tgt_theta,
+                              jnp.where(ufw1, fwd_th, s.acc_th_fw))
+        acc_rho_fw = jnp.where(r1, rho0,
+                               jnp.where(ufw1, fwd_rho, s.acc_rho_fw))
+        acc_th_sel = jnp.where(r1, tgt_theta,
+                               jnp.where(tk1, sel_theta, s.acc_th_sel))
+        acc_jt_bk = jnp.where(restart, joint0,
+                              jnp.where(upd_bk, fwd_joint, s.acc_jt_bk))
+        acc_jt_fw = jnp.where(restart, joint0,
+                              jnp.where(upd_fw, fwd_joint, s.acc_jt_fw))
+        acc_lp_sel = jnp.where(restart, tgt_logp,
+                               jnp.where(take, sel_logp, s.acc_lp_sel))
+        acc_logw = jnp.where(restart, joint0,
+                             jnp.where(subtree_done,
+                                       log_sum_exp(s.acc_logw,
+                                                   run_logw_new),
+                                       s.acc_logw))
 
         # leaf-start for continuing lanes: orbit endpoint in the (new)
         # travel direction on a new doubling, this leaf's endpoint on a
         # push; the trajectory start for restarting lanes
-        acc_end = jnp.stack([
-            jnp.where(nd1, acc_v[:, _THETA_FW], acc_v[:, _THETA_BK]),
-            jnp.where(nd1, acc_v[:, _RHO_FW], acc_v[:, _RHO_BK]),
-            jnp.where(nd1, acc_grad_fw, acc_grad_bk),
-        ], axis=1)
-        acc_end_joint = jnp.where(new_dir, acc_s[:, _LOGP_FW],
-                                  acc_s[:, _LOGP_BK])
-        ms = jnp.where(r2, start,
-                       jnp.where(deeper[:, None, None], acc_end,
-                                 jnp.where(push[:, None, None], fwd, s.ms)))
+        acc_end_th = jnp.where(nd1, acc_th_fw, acc_th_bk)
+        acc_end_rho = jnp.where(nd1, acc_rho_fw, acc_rho_bk)
+        acc_end_grad = jnp.where(nd1, acc_grad_fw, acc_grad_bk)
+        acc_end_joint = jnp.where(new_dir, acc_jt_fw, acc_jt_bk)
+        d1m = deeper[:, None]
+        p1m = push[:, None]
+        ms_th = jnp.where(r1, tgt_theta,
+                          jnp.where(d1m, acc_end_th,
+                                    jnp.where(p1m, fwd_th, s.ms_th)))
+        ms_rho = jnp.where(r1, rho0,
+                           jnp.where(d1m, acc_end_rho,
+                                     jnp.where(p1m, fwd_rho, s.ms_rho)))
+        ms_grad = jnp.where(r1, tgt_grad,
+                            jnp.where(d1m, acc_end_grad,
+                                      jnp.where(p1m, fwd_grad,
+                                                s.ms_grad)))
         ms_joint = jnp.where(restart, joint0,
                              jnp.where(deeper, acc_end_joint,
                                        jnp.where(push, fwd_joint,
                                                  s.ms_joint)))
         rc = restart | cont_m
-        rc2 = rc[:, None, None]
+        rc1m = rc[:, None]
         if speculate:
             # resolved spec lanes either promoted (pending leaf becomes
             # history; machine latches now describe the still-running —
@@ -1306,7 +1348,11 @@ def make_batched_sample_block(
                             jnp.where(deeper, new_depth, s.depth)),
             out_depth=jnp.where(restart, jnp.int32(max_depth + 1),
                                 out_depth),
-            acc_v=acc_v, acc_s=acc_s,
+            acc_th_bk=acc_th_bk, acc_rho_bk=acc_rho_bk,
+            acc_th_fw=acc_th_fw, acc_rho_fw=acc_rho_fw,
+            acc_th_sel=acc_th_sel,
+            acc_jt_bk=acc_jt_bk, acc_jt_fw=acc_jt_fw,
+            acc_lp_sel=acc_lp_sel, acc_logw=acc_logw,
             acc_grad_bk=acc_grad_bk, acc_grad_fw=acc_grad_fw,
             acc_grad_sel=acc_grad_sel,
             forward=new_dir,
@@ -1325,7 +1371,8 @@ def make_batched_sample_block(
                                jnp.asarray(-jnp.inf, dtype),
                                jnp.where(leaf_ok, run_logw_new,
                                          s.run_logw)),
-            ms=ms, ms_joint=ms_joint,
+            ms_th=ms_th, ms_rho=ms_rho, ms_grad=ms_grad,
+            ms_joint=ms_joint,
             halvings=jnp.where(rc, jnp.int32(0), s.halvings),
             dt=jnp.where(restart, dt0,
                          jnp.where(cont_m, jnp.where(new_dir, step, -step),
@@ -1340,7 +1387,12 @@ def make_batched_sample_block(
             phase=jnp.where(rc, jnp.int32(_PH_FWD), s.phase),
             # fresh_cur: mark the cursor stale (one (C,) bit) and let the
             # next trip integrate from ms, instead of the 3-row write
-            cur=s.cur if fresh_cur else jnp.where(rc2, ms, s.cur),
+            cur_th=s.cur_th if fresh_cur else jnp.where(rc1m, ms_th,
+                                                        s.cur_th),
+            cur_rho=s.cur_rho if fresh_cur else jnp.where(rc1m, ms_rho,
+                                                          s.cur_rho),
+            cur_grad=s.cur_grad if fresh_cur else jnp.where(rc1m, ms_grad,
+                                                            s.cur_grad),
             fresh=fresh_new,
             lp_cur=jnp.where(restart, tgt_logp, s.lp_cur),
             leaf_done=jnp.where(clear, False, s.leaf_done),
@@ -1494,11 +1546,10 @@ def make_batched_sample_block(
             _LOGP_BK, _LOGP_FW, _LOGP_SEL, _LOGW)
         C, D = st.run_sel.shape
         dtype = st.ms_joint.dtype
-        fpk = jnp.concatenate([
-            jnp.stack([st.run_sel_logp, st.run_logw, st.ms_joint,
-                       st.dt, st.lp_cur], 0),
-            st.acc_s.T,
-        ], 0)
+        fpk = jnp.stack([st.run_sel_logp, st.run_logw, st.ms_joint,
+                         st.dt, st.lp_cur,
+                         st.acc_jt_bk, st.acc_jt_fw, st.acc_lp_sel,
+                         st.acc_logw], 0)
         ipk = jnp.stack([
             st.depth, st.out_depth, st.leaf_idx, st.n_leaves,
             st.halvings, st.steps_done, st.steps_total, st.phase,
@@ -1520,13 +1571,20 @@ def make_batched_sample_block(
         # row-major first integration paid ~130 us/pass in layout
         # copies — measured, round-4 profile)
         cm = lambda x: jnp.moveaxis(x, 0, -1)
+        stk3 = lambda *xs: jnp.stack([x.T for x in xs], 0)
         (fpk, ipk, bpk, upk, acc_v, agb, ags, agf, stack_e, run_sel,
          rsg, ms, cur, bt, bl, bd) = _fp.fused_pass_call(
-            fpk, ipk, bpk, upk, cm(st.acc_v), cm(st.acc_grad_bk),
+            fpk, ipk, bpk, upk,
+            stk3(st.acc_th_bk, st.acc_rho_bk, st.acc_th_fw,
+                 st.acc_rho_fw, st.acc_th_sel),
+            cm(st.acc_grad_bk),
             cm(st.acc_grad_sel), cm(st.acc_grad_fw), cm(st.stack_e),
-            cm(st.run_sel), cm(st.run_sel_grad), cm(st.ms), cm(st.cur),
+            cm(st.run_sel), cm(st.run_sel_grad),
+            stk3(st.ms_th, st.ms_rho, st.ms_grad),
+            stk3(st.cur_th, st.cur_rho, st.cur_grad),
             bt, bl, bd,
-            cm(st.fwd), cm(inv_mass), rof, mm, cap2,
+            stk3(st.fwd_th, st.fwd_rho, st.fwd_grad),
+            cm(inv_mass), rof, mm, cap2,
             max_depth=max_depth, n_slots=n_slots, B=B,
             R=int(block_draws), ct=_pass_ct(C, D),
             interpret=jax.default_backend() != "tpu",
@@ -1535,7 +1593,9 @@ def make_batched_sample_block(
         impl = jax.random.key_impl(st.key)
         st = st._replace(
             run_sel_logp=fpk[0], run_logw=fpk[1], ms_joint=fpk[2],
-            dt=fpk[3], lp_cur=fpk[4], acc_s=fpk[5:9].T,
+            dt=fpk[3], lp_cur=fpk[4],
+            acc_jt_bk=fpk[5], acc_jt_fw=fpk[6], acc_lp_sel=fpk[7],
+            acc_logw=fpk[8],
             depth=ipk[0], out_depth=ipk[1], leaf_idx=ipk[2],
             n_leaves=ipk[3], halvings=ipk[4], steps_done=ipk[5],
             steps_total=ipk[6], phase=ipk[7], n_ends=ipk[8],
@@ -1545,10 +1605,14 @@ def make_batched_sample_block(
             forward=bpk[0], leaf_done=bpk[1], leaf_ok=bpk[2],
             key=jax.random.wrap_key_data(upk[:2].T, impl=impl),
             ku=upk[2:4].T.astype(st.ku.dtype),
-            acc_v=mc(acc_v), acc_grad_bk=mc(agb), acc_grad_sel=mc(ags),
+            acc_th_bk=acc_v[_THETA_BK].T, acc_rho_bk=acc_v[_RHO_BK].T,
+            acc_th_fw=acc_v[_THETA_FW].T, acc_rho_fw=acc_v[_RHO_FW].T,
+            acc_th_sel=acc_v[_THETA_SEL].T,
+            acc_grad_bk=mc(agb), acc_grad_sel=mc(ags),
             acc_grad_fw=mc(agf), stack_e=mc(stack_e),
-            run_sel=mc(run_sel), run_sel_grad=mc(rsg), ms=mc(ms),
-            cur=mc(cur),
+            run_sel=mc(run_sel), run_sel_grad=mc(rsg),
+            ms_th=ms[0].T, ms_rho=ms[1].T, ms_grad=ms[2].T,
+            cur_th=cur[0].T, cur_rho=cur[1].T, cur_grad=cur[2].T,
         )
         return st, bt, bl, bd
 
