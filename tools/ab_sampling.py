@@ -104,9 +104,12 @@ def main():
           flush=True)
 
     params = jax.vmap(freeze_params)(wstate)
-    configs = [{}]
-    if model == "funnel":
-        configs.append({"batched_groups": 4})
+    if os.environ.get("AB_CONFIGS"):
+        configs = json.loads(os.environ["AB_CONFIGS"])
+    else:
+        configs = [{}]
+        if model == "funnel":
+            configs.append({"batched_groups": 4})
     summary = []
     for cfg in configs:
         times = []
@@ -114,11 +117,12 @@ def main():
             sstate = jax.vmap(init_sample_state)(wstate)
             jax.block_until_ready(sstate)
             t0 = time.time()
+            kw = dict(device_draws=True, batched=True,
+                      runahead=8 if model == "sv" else 4,
+                      tier2_every=t2k)
+            kw.update(cfg)
             sstate, dr, _, _ = run_sampling(
-                logp_grad, sstate, params, sampling_cfg, info=info,
-                device_draws=True, batched=True,
-                runahead=8 if model == "sv" else 4,
-                tier2_every=t2k, **cfg)
+                logp_grad, sstate, params, sampling_cfg, info=info, **kw)
             jax.block_until_ready((sstate, dr))
             times.append(round(time.time() - t0, 3))
             del dr
