@@ -472,6 +472,7 @@ int main(int argc, char** argv) {
   draws.reserve(static_cast<size_t>(n_chains) * n_samp * keep_dims);
 
   Counters cnt;
+  long sampling_grads = 0;  // phase split for the ESS/grad parity root-cause
   auto t0 = std::chrono::steady_clock::now();
   double warm_seconds = 0.0;
 
@@ -548,14 +549,25 @@ int main(int argc, char** argv) {
                    c, step0, tun.step, tun.min_micro, inv_mass[0], q[0]);
     }
 
+    long gs0 = cnt.grads;
+    int moves = 0;
+    double q0_prev = q[0];
     for (int it = 0; it < n_samp; ++it) {
       auto res = draw(*tgt, inv_mass, tun, rng, q, g_sel, cnt, [](double) {});
+      if (q[0] != q0_prev) ++moves;
+      q0_prev = q[0];
       if (std::getenv("BASELINE_DEBUG2") && it < 10) {
         std::fprintf(stderr, "chain %d it %d lp %.3f depth %d q0 %.4f\n",
                      c, it, res.first, res.second, q[0]);
       }
       (void)res;
       for (int k = 0; k < keep_dims; ++k) draws.push_back(q[k]);
+    }
+    sampling_grads += cnt.grads - gs0;
+    if (std::getenv("BASELINE_CHAIN_STATS")) {
+      std::fprintf(stderr,
+                   "CHAINSTAT %d step %.6g min_micro %d samp_grads %ld moves %d\n",
+                   c, tun.step, tun.min_micro, cnt.grads - gs0, moves);
     }
   }
 
@@ -571,7 +583,9 @@ int main(int argc, char** argv) {
 
   std::printf(
       "{\"model\": \"%s\", \"chains\": %d, \"warmup\": %d, \"sampling\": %d, "
-      "\"total_seconds\": %.6f, \"warmup_seconds\": %.6f, \"grad_evals\": %ld}\n",
-      model.c_str(), n_chains, n_warm, n_samp, total_seconds, warm_seconds, cnt.grads);
+      "\"total_seconds\": %.6f, \"warmup_seconds\": %.6f, \"grad_evals\": %ld, "
+      "\"sampling_grad_evals\": %ld}\n",
+      model.c_str(), n_chains, n_warm, n_samp, total_seconds, warm_seconds,
+      cnt.grads, sampling_grads);
   return 0;
 }

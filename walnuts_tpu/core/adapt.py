@@ -176,9 +176,32 @@ def mass_estimator_observe(
 
 
 def mass_estimator_inv_mass(state: MassEstimatorState) -> Array:
-    return jnp.sqrt(
+    inv = jnp.sqrt(
         online_moments_variance(state.draws) / online_moments_variance(state.scores)
     )
+    # f32 on TPU flushes subnormals to zero, so a near-frozen coordinate's
+    # draw variance can underflow to EXACT 0 — and inv_mass = 0 is an
+    # absorbing state: the theta update freezes the coordinate, the
+    # momentum draw z/sqrt(inv_mass) is inf, every |dH| check goes
+    # non-finite, and the whole chain dies while burning the full halving
+    # budget each draw (measured round 4: 238/1024 SV bench chains dead,
+    # 51k grads each vs 27k live, draws frozen — the ~10% ESS/grad parity
+    # deficit). The f64 reference (adaptive_walnuts.hpp:89-94) computes
+    # the same quotient but its arithmetic range never reaches the
+    # absorbing zero. The clamp floor must keep the whole downstream
+    # algebra representable, not just nonzero: momenta are
+    # z/sqrt(inv_mass), and at floor=finfo.tiny the momentum itself
+    # squares to inf in f32 for |z| > 1.9 (measured: the ex-dead chains
+    # kept failing every |dH| check) — so the floor is sqrt(finfo.tiny)
+    # (f32 1.1e-19: momentum ~3e9 z, its square ~9e18 z^2, kinetic
+    # contribution exactly z^2/2; f64 1.5e-154, never reached), with the
+    # symmetric cap against the var(scores)->0 blowup. Binds only where
+    # the f64 reference's arithmetic could not follow anyway: it is
+    # efficiency tuning, not distribution (any positive diagonal mass is
+    # a valid kernel), and is an exact no-op for every f64 oracle in the
+    # suite.
+    tiny = jnp.sqrt(jnp.asarray(jnp.finfo(inv.dtype).tiny, inv.dtype))
+    return jnp.clip(inv, tiny, 1.0 / tiny)
 
 
 class MinMicroState(NamedTuple):
