@@ -476,10 +476,17 @@ int main(int argc, char** argv) {
   auto t0 = std::chrono::steady_clock::now();
   double warm_seconds = 0.0;
 
+  FILE* init_dump = nullptr;
+  if (const char* ip = std::getenv("BASELINE_DUMP_INITS")) {
+    init_dump = std::fopen(ip, "wb");
+    int32_t h[2] = {n_chains, d};
+    std::fwrite(h, sizeof(int32_t), 2, init_dump);
+  }
   for (int c = 0; c < n_chains; ++c) {
     Rng rng(seed + 1000003ULL * c);
     Vec q(d);
     for (int i = 0; i < d; ++i) q[i] = 2.0 * rng.normal();
+    if (init_dump) std::fwrite(q.data(), sizeof(double), d, init_dump);
     Vec grad(d);
     double lp0 = tgt->logp_grad(q, grad);
     (void)lp0;
@@ -571,6 +578,7 @@ int main(int argc, char** argv) {
     }
   }
 
+  if (init_dump) std::fclose(init_dump);
   double total_seconds =
       std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
 
