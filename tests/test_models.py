@@ -87,6 +87,39 @@ class TestStochasticVolatility:
         # chains actually move
         assert np.std(draws[:, :, 1], axis=1).min() > 0.0
 
+    def test_ar1_filter_matches_sequential_scan(self):
+        """The scalar-coefficient log-pass filter (targets._ar1_filter)
+        and its custom_vjp adjoint must match a sequential lax.scan of
+        u_t = phi u_{t-1} + z_t (value and both gradients) at f64 —
+        including non-power-of-two lengths where the shifted passes
+        over-reach the array edge."""
+        from walnuts_tpu.models.targets import _ar1_filter
+
+        rng = np.random.default_rng(7)
+
+        def seq(z, phi):
+            def step(u, zt):
+                u = phi * u + zt
+                return u, u
+
+            _, us = jax.lax.scan(step, jnp.zeros((), z.dtype), z)
+            return us
+
+        for T in (1, 2, 3, 7, 64, 1000):
+            z = jnp.asarray(rng.standard_normal(T))
+            w = jnp.asarray(rng.standard_normal(T))
+            phi = jnp.asarray(0.97)
+            np.testing.assert_allclose(
+                _ar1_filter(z, phi), seq(z, phi), rtol=1e-12, atol=1e-12)
+            g_new = jax.grad(
+                lambda z, p: jnp.sum(w * _ar1_filter(z, p)), argnums=(0, 1)
+            )(z, phi)
+            g_ref = jax.grad(
+                lambda z, p: jnp.sum(w * seq(z, p)), argnums=(0, 1)
+            )(z, phi)
+            np.testing.assert_allclose(g_new[0], g_ref[0], rtol=1e-10)
+            np.testing.assert_allclose(g_new[1], g_ref[1], rtol=1e-10)
+
     def test_f32_logp_grad_finite_at_deep_negative_h(self):
         """Overflow-stability regression (targets.py log-stabilized
         likelihood): one latent h_t dipping to -92 makes the naive

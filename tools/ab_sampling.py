@@ -56,6 +56,14 @@ def main():
         from walnuts_tpu.models import stochastic_volatility
 
         logp, dim = stochastic_volatility()
+        # model-impl A/B (round 4 filter rewrite): a config entry
+        # {"_impl": "assoc"|"fma"} swaps the SV scan implementation for
+        # the timed run_sampling only (warmup uses the default impl;
+        # adapted params are impl-agnostic to float noise)
+        impl_variants = {
+            name: make_logp_grad(stochastic_volatility(scan_impl=name)[0])
+            for name in ("assoc", "fma")
+        }
     else:
         from walnuts_tpu.models import logistic_regression
 
@@ -111,7 +119,11 @@ def main():
         if model == "funnel":
             configs.append({"batched_groups": 4})
     summary = []
-    for cfg in configs:
+    for cfg_orig in configs:
+        cfg = dict(cfg_orig)
+        lg = logp_grad
+        if "_impl" in cfg:
+            lg = impl_variants[cfg.pop("_impl")]
         times = []
         for _ in range(repeats):
             sstate = jax.vmap(init_sample_state)(wstate)
@@ -122,14 +134,14 @@ def main():
                       tier2_every=t2k)
             kw.update(cfg)
             sstate, dr, _, _ = run_sampling(
-                logp_grad, sstate, params, sampling_cfg, info=info, **kw)
+                lg, sstate, params, sampling_cfg, info=info, **kw)
             jax.block_until_ready((sstate, dr))
             times.append(round(time.time() - t0, 3))
             del dr
         print(json.dumps({"model": model, "n_chains": n_chains,
-                          "draws": draws, "config": cfg, "times": times,
+                          "draws": draws, "config": cfg_orig, "times": times,
                           "min": min(times)}), flush=True)
-        summary.append({"config": cfg, "min": min(times)})
+        summary.append({"config": cfg_orig, "min": min(times)})
     for s in summary:
         s["vs_first"] = round(summary[0]["min"] / s["min"], 3)
     print(json.dumps({"summary": summary}), flush=True)

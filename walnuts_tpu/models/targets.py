@@ -204,9 +204,60 @@ def stochastic_volatility_data(
     return np.exp(h / 2) * rng.standard_normal(num_times)
 
 
+@jax.custom_vjp
+def _ar1_filter(z: Array, phi: Array) -> Array:
+    """Causal AR(1) filter ``u_t = phi * u_{t-1} + z_t`` (u_{-1} = 0).
+
+    Computed as ceil(log2(T)) Hillis-Steele FMA passes over a SINGLE
+    array with per-level SCALAR coefficients phi^(2^l) — the coefficient
+    sequence of the recurrence is analytic, so the generic
+    ``lax.associative_scan`` over (coeff, value) TUPLES (which reads and
+    writes twice the rows and whose autodiff doubles everything again)
+    is wasted traffic. The backward pass is the analytic adjoint: the
+    REVERSE filter of the cotangent (same passes, mirrored shift), plus
+    ``dphi = sum_t a_t u_{t-1}``. On the 1003-dim SV flagship this
+    halves the dominant per-gradient HBM traffic (measured — see
+    docs/BENCHMARKS.md round 4 "SV filter rewrite").
+
+    Zero-padding via ``jnp.pad`` keeps shapes static; the passes unroll
+    at trace time (T is static).
+    """
+    u = z
+    c = phi
+    k = 1
+    while k < z.shape[-1]:
+        u = u + c * jnp.pad(u[..., :-k], [(0, 0)] * (u.ndim - 1) + [(k, 0)])
+        c = c * c
+        k *= 2
+    return u
+
+
+def _ar1_filter_fwd(z, phi):
+    u = _ar1_filter(z, phi)
+    return u, (u, phi)
+
+
+def _ar1_filter_bwd(res, du):
+    u, phi = res
+    # adjoint recursion a_t = du_t + phi * a_{t+1}: the time-reversed filter
+    a = du
+    c = phi
+    k = 1
+    while k < du.shape[-1]:
+        a = a + c * jnp.pad(a[..., k:], [(0, 0)] * (a.ndim - 1) + [(0, k)])
+        c = c * c
+        k *= 2
+    dphi = jnp.sum(a[..., 1:] * u[..., :-1], axis=-1)
+    return a, dphi
+
+
+_ar1_filter.defvjp(_ar1_filter_fwd, _ar1_filter_bwd)
+
+
 def stochastic_volatility(
     num_times: int = 1000,
     seed: int = 20260816,
+    scan_impl: str | None = None,
 ) -> Target:
     """Stochastic volatility model with a non-centered latent AR(1).
 
@@ -220,6 +271,14 @@ def stochastic_volatility(
     ``jnp.cumsum``-free ``lax.scan``-compatible arithmetic via an
     associative scan so the gradient stays fused.
     """
+    # scan_impl: "fma" (default) = the scalar-coefficient log-pass filter
+    # (_ar1_filter, custom-adjoint); "assoc" = the round-3 tuple
+    # associative scan, kept for A/B harnesses (SV_SCAN_IMPL env
+    # overrides when the arg is None).
+    if scan_impl is None:
+        import os
+
+        scan_impl = os.environ.get("SV_SCAN_IMPL", "fma")
     returns = stochastic_volatility_data(num_times, seed)
     # log r_t^2 precomputed in f64: the likelihood term r^2 exp(-h) is
     # evaluated as exp(log r^2 - h) so the INTERMEDIATE never overflows
@@ -240,19 +299,22 @@ def stochastic_volatility(
         sigma = jnp.exp(log_sigma)
         # Non-centered latent path: h - mu = sigma * (filtered z), where the
         # filter is the linear recursion u_t = phi*u_{t-1} + z_t with
-        # u_1 = z_1 / sqrt(1-phi^2). Computed with an associative scan so it
-        # parallelizes on the VPU instead of serializing num_times steps.
+        # u_1 = z_1 / sqrt(1-phi^2). Computed with the scalar-coefficient
+        # log-pass filter (``_ar1_filter``) so it parallelizes on the VPU
+        # without the tuple-scan traffic of a generic associative scan.
         scale0 = 1.0 / jnp.sqrt(1.0 - jnp.square(phi) + 1e-12)
         z0 = z.at[0].multiply(scale0)
+        if scan_impl == "fma":
+            u = _ar1_filter(z0, phi)
+        else:
 
-        def combine(a, b):
-            # elements are (coeff, value): u_new = coeff_b * u_prev + val_b
-            ca, va = a
-            cb, vb = b
-            return ca * cb, cb * va + vb
+            def combine(a, b):
+                ca, va = a
+                cb, vb = b
+                return ca * cb, cb * va + vb
 
-        coeffs = jnp.full(z.shape, phi).at[0].set(0.0)
-        _, u = jax.lax.associative_scan(combine, (coeffs, z0))
+            coeffs = jnp.full(z.shape, phi).at[0].set(0.0)
+            _, u = jax.lax.associative_scan(combine, (coeffs, z0))
         hpath = mu + sigma * u
         lp_lik = -0.5 * jnp.sum(
             jnp.exp(jnp.asarray(log_r2, theta.dtype) - hpath) + hpath
