@@ -9,23 +9,34 @@ efficiency per gradient — through statistics whose standard errors
 shrink with the CHAIN count instead of the seed count:
 
   1. rho_bar_k: the cross-chain mean autocorrelation of coordinate 0
-     (the funnel's slow log-scale direction) at FIXED lags k = 1..K.
-     SE = cross-chain std / sqrt(C_live); no adaptive truncation.
+     (the slow hyperparameter direction: funnel log-scale / SV mu)
+     at FIXED lags k = 1..K. SE = cross-chain std / sqrt(C_live); no
+     adaptive truncation.
   2. a fixed-window ESS fraction  1 / (1 + 2 sum_{k<=K} rho_bar_k)
      with a delta-method CI from the rho_bar covariances.
-  3. reference-accounting sampling gradients per chain per draw.
+  3. reference-accounting sampling gradients per LIVE chain per draw
+     (SV: ~52% of the protocol's chains are stuck-from-birth in BOTH
+     implementations — docs/BENCHMARKS.md "SV stuck-chain discovery" —
+     and carry zero dim-0 variance, so they are excluded from the
+     autocorrelation estimate; their gradient budget is excluded to
+     match. All-chain accounting is reported alongside.)
   4. marginal moment parity of dim 0 (mean/var with cross-chain SEs).
 
 Ratio (2)/(3) across implementations is the tight ESS/grad parity
-statistic. Native side: csrc/baseline_bench.cpp with
-BASELINE_KEEP_DIMS=2 dumps (chain-major) f64 draws; TPU side: this
-script replays the exact bench.py flagship protocol (4096 chains,
-400+400, halvings=8, batched scheduler defaults) and stores dim-0/1
-draws per seed.
+statistic. Native side: csrc/baseline_bench with BASELINE_KEEP_DIMS
+dumps (chain-major) f64 draws and BASELINE_CHAIN_STATS=1 emits
+per-chain CHAINSTAT grad counters on stderr; TPU side: this script
+replays the exact bench.py flagship protocols and stores dim-0/1
+draws + per-chain grad counters per seed.
 
 Usage:
-  python tools/parity_tight.py tpu [seed...]    # run TPU seeds -> npz
-  python tools/parity_tight.py analyze          # compare vs native bins
+  python tools/parity_tight.py tpu [seed...]         # funnel f32 seeds
+  python tools/parity_tight.py tpu-sv [seed...]      # SV f32 seeds
+  python tools/parity_tight.py tpu-sv-f64 [seed...]  # SV f64 seeds
+  python tools/parity_tight.py analyze               # funnel vs native
+  python tools/parity_tight.py analyze-sv            # SV arms vs native
+
+Round-4 funnel result: ratio 1.0081 +/- 0.0018 (docs/parity_tight_r4.json).
 
 Reference counter semantics: stan_cli.cpp:121-139 (grad counts);
 walnuts.hpp:520-563 (the hot loop both sides schedule).
@@ -33,18 +44,35 @@ walnuts.hpp:520-563 (the hot loop both sides schedule).
 import glob
 import json
 import os
+import re
 import sys
 
 import numpy as np
 
-LAGS = 24  # fixed window; funnel dim-0 rho_k is ~0 well before this
+LAGS = 24  # fixed window; dim-0 rho_k decays smoothly over this range
 TPU_OUT = "/tmp/parity_tight_tpu_s{seed}.npz"
 NATIVE_GLOB = "/tmp/native_funnel_tight_s*.bin"
+TPU_SV_OUT = "/tmp/parity_tight_tpu_sv_s{seed}.npz"
+TPU_SV64_OUT = "/tmp/parity_tight_tpu_sv64_s{seed}.npz"
+NATIVE_SV_GLOB = "/tmp/native_sv_tight_s*.bin"
+
+# bench.py flagship protocols (keep in sync with bench._run_once /
+# _ess_per_sec defaults: funnel G=4/K=6/B=4 block 100; SV G=1/K=12/B=8
+# block 50; warmup B=4 both; halvings=8 both)
+PROTO = {
+    "funnel": dict(C=4096, W=400, N=400, block=100, groups=4, t2k=6,
+                   runahead=4, warmup_b=4),
+    "sv": dict(C=1024, W=200, N=200, block=50, groups=1, t2k=12,
+               runahead=8, warmup_b=4),
+}
 
 
-def run_tpu(seed: int) -> None:
+def run_tpu(seed: int, model: str = "funnel", f64: bool = False) -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     import jax
+
+    if f64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -55,15 +83,20 @@ def run_tpu(seed: int) -> None:
         init_sample_state,
         init_warmup_state,
     )
-    from walnuts_tpu.models import funnel
+    from walnuts_tpu.models import funnel, stochastic_volatility
     from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
     from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
 
-    logp, dim = funnel(101)
+    p = PROTO[model]
+    if model == "sv":
+        logp, dim = stochastic_volatility()
+    else:
+        logp, dim = funnel(101)
     logp_grad = make_logp_grad(logp)
-    C, W, N, dtype = 4096, 400, 400, jnp.float32
-    wc = WarmupConfig(min_iter=W, max_iter=W, block_size=100)
-    sc = SamplingConfig(min_iter=N, max_iter=N, block_size=100,
+    C, W, N = p["C"], p["W"], p["N"]
+    dtype = jnp.float64 if f64 else jnp.float32
+    wc = WarmupConfig(min_iter=W, max_iter=W, block_size=min(p["block"], W))
+    sc = SamplingConfig(min_iter=N, max_iter=N, block_size=min(p["block"], N),
                         max_step_halvings=8)
     base = jax.random.key(seed)
     keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(jnp.arange(C))
@@ -77,25 +110,27 @@ def run_tpu(seed: int) -> None:
     ))(sk, theta0, im)
     ws = jax.vmap(lambda k, t, m, s: init_warmup_state(k, t, m, s, wc, sc))(
         keys, theta0, im, s0)
-    ws, _, _, info = run_warmup(logp_grad, ws, wc, sc, batched=True, runahead=4)
+    ws, _, _, info = run_warmup(logp_grad, ws, wc, sc, batched=True,
+                                runahead=p["warmup_b"])
     wg = np.asarray(ws.n_grads, np.int64)
     ss = jax.vmap(init_sample_state)(ws)
     ss, dr, _, info = run_sampling(
         logp_grad, ss, params := jax.vmap(freeze_params)(ws), sc, info=info,
-        device_draws=True, batched=True, batched_groups=4, runahead=4,
-        tier2_every=6)
+        device_draws=True, batched=True, batched_groups=p["groups"],
+        runahead=p["runahead"], tier2_every=p["t2k"])
     del params
     sg = np.asarray(ss.n_grads, np.int64) - wg
     # reference accounting: + the cached trajectory-start gradient per
     # draw (minus block entries) — mirrors bench.py's counter
-    blocks = N // 100
+    blocks = N // sc.block_size
     sg_ref = sg + (N - blocks)
     d01 = np.asarray(jax.device_get(dr[:, :, :2]), np.float64)  # (N, C, 2)
-    np.savez(TPU_OUT.format(seed=seed),
+    out = (TPU_SV64_OUT if f64 else TPU_SV_OUT) if model == "sv" else TPU_OUT
+    np.savez(out.format(seed=seed),
              draws=np.moveaxis(d01, 0, 1),  # (C, N, 2)
              sg=sg, sg_ref=sg_ref)
-    print(f"seed {seed}: draws (C,N,2) saved, sampling grads "
-          f"{sg.sum()} (ref-acct {sg_ref.sum()})")
+    print(f"{model}{'-f64' if f64 else ''} seed {seed}: draws (C,N,2) saved, "
+          f"sampling grads {sg.sum()} (ref-acct {sg_ref.sum()})")
 
 
 def _chain_stats(draws_c: np.ndarray):
@@ -136,6 +171,15 @@ def _summ(rho_live: np.ndarray, x_live: np.ndarray, sg_per_chain_draw: float):
     }
 
 
+def _ratio(sides: dict, a: str, b: str = "native"):
+    r = sides[a]["ess_per_grad_tight"] / sides[b]["ess_per_grad_tight"]
+    rel = np.hypot(
+        sides[a]["ess_per_grad_tight_se"] / sides[a]["ess_per_grad_tight"],
+        sides[b]["ess_per_grad_tight_se"] / sides[b]["ess_per_grad_tight"],
+    )
+    return float(r), float(r * rel)
+
+
 def analyze() -> None:
     sides = {}
     # ---- native ----
@@ -174,21 +218,92 @@ def analyze() -> None:
                          sgr / draws_n)
     sides["tpu"]["grads_per_chain_draw_cached_acct"] = sg / draws_n
 
-    r = sides["tpu"]["ess_per_grad_tight"] / sides["native"]["ess_per_grad_tight"]
-    rel = np.hypot(
-        sides["tpu"]["ess_per_grad_tight_se"] / sides["tpu"]["ess_per_grad_tight"],
-        sides["native"]["ess_per_grad_tight_se"] / sides["native"]["ess_per_grad_tight"],
-    )
-    sides["ratio_tpu_over_native"] = float(r)
-    sides["ratio_se"] = float(r * rel)
+    sides["ratio_tpu_over_native"], sides["ratio_se"] = _ratio(sides, "tpu")
     print(json.dumps(sides, indent=1))
     with open("/tmp/parity_tight_result.json", "w") as f:
         json.dump(sides, f, indent=1)
 
 
+def _native_chainstat_grads(path: str) -> np.ndarray:
+    """Per-chain sampling grads from a BASELINE_CHAIN_STATS=1 stderr dump."""
+    out = {}
+    for line in open(path):
+        m = re.match(r"CHAINSTAT (\d+) step \S+ min_micro \S+ samp_grads (\d+)", line)
+        if m:
+            out[int(m.group(1))] = int(m.group(2))
+    return np.array([out[i] for i in range(len(out))], np.int64)
+
+
+def analyze_sv() -> None:
+    """SV tight parity: live-chain ESS/grad, TPU f32 and f64 arms vs native.
+
+    The SV protocol's stuck-from-birth chains (zero accepted moves; same
+    ~52% cohort in both implementations) carry zero dim-0 variance and a
+    pinned full-budget grad count, so the primary statistic masks them on
+    BOTH numerator (autocorrelation) and denominator (grads). All-chain
+    grad accounting is reported for reference.
+    """
+    sides = {}
+    N_draws = PROTO["sv"]["N"]
+
+    rhos, xs, live_g, all_g, live_n, all_n = [], [], 0, 0, 0, 0
+    for path in sorted(glob.glob(NATIVE_SV_GLOB)):
+        with open(path, "rb") as f:
+            C, N, K = np.fromfile(f, np.int32, 3)
+            cube = np.fromfile(f, np.float64, C * N * K).reshape(C, N, K)
+        sg = _native_chainstat_grads(path.replace(".bin", ".chainstats"))
+        assert len(sg) == C, (path, len(sg), C)
+        rho, live, x = _chain_stats(cube)
+        rhos.append(rho)
+        xs.append(x)
+        live_g += int(sg[live].sum())
+        all_g += int(sg.sum())
+        live_n += int(live.sum())
+        all_n += int(C)
+        print(f"native {os.path.basename(path)}: live {live.sum()}/{C}")
+    sides["native"] = _summ(np.concatenate(rhos), np.concatenate(xs),
+                            live_g / (live_n * N_draws))
+    sides["native"]["grads_per_chain_draw_all"] = all_g / (all_n * N_draws)
+
+    for arm, pat in [("tpu_f32", TPU_SV_OUT), ("tpu_f64", TPU_SV64_OUT)]:
+        paths = sorted(glob.glob(pat.format(seed="*")))
+        if not paths:
+            continue
+        rhos, xs, live_g, all_g, live_n, all_n = [], [], 0, 0, 0, 0
+        for path in paths:
+            z = np.load(path)
+            rho, live, x = _chain_stats(z["draws"])
+            rhos.append(rho)
+            xs.append(x)
+            live_g += int(z["sg_ref"][live].sum())
+            all_g += int(z["sg_ref"].sum())
+            live_n += int(live.sum())
+            all_n += int(z["draws"].shape[0])
+            print(f"{arm} {os.path.basename(path)}: live {live.sum()}/{z['draws'].shape[0]}")
+        sides[arm] = _summ(np.concatenate(rhos), np.concatenate(xs),
+                           live_g / (live_n * N_draws))
+        sides[arm]["grads_per_chain_draw_all"] = all_g / (all_n * N_draws)
+        r, se = _ratio(sides, arm)
+        sides[f"ratio_{arm}_over_native"] = r
+        sides[f"ratio_{arm}_se"] = se
+    print(json.dumps(sides, indent=1))
+    with open("/tmp/parity_tight_sv_result.json", "w") as f:
+        json.dump(sides, f, indent=1)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "tpu":
-        for s in [int(a) for a in sys.argv[2:]] or [2027, 2028, 2029]:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "analyze"
+    seeds = [int(a) for a in sys.argv[2:]] or [2027, 2028, 2029]
+    if cmd == "tpu":
+        for s in seeds:
             run_tpu(s)
+    elif cmd == "tpu-sv":
+        for s in seeds:
+            run_tpu(s, model="sv")
+    elif cmd == "tpu-sv-f64":
+        for s in seeds:
+            run_tpu(s, model="sv", f64=True)
+    elif cmd == "analyze-sv":
+        analyze_sv()
     else:
         analyze()
