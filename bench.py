@@ -87,9 +87,14 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # warmup scheduler knobs (the batched warmup is asynchronous per lane;
     # runahead/groups are scheduling-only — BENCH_WARMUP_B/_GROUPS
     # override; tools/ab_tpu.py re-measures the warmup arms)
+    # block_budget=0: the bench hand-tunes block sizes per model (see
+    # `block` above) and the ref-accounting correction below infers
+    # block counts from them — a transient worker slowdown must not
+    # shrink realized blocks mid-run (skewing that correction and
+    # recompiling new scan lengths inside the timed region)
     wstate, _, _, info = run_warmup(
         logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16,
-        unroll=unroll, batched=batched,
+        unroll=unroll, batched=batched, block_budget=0.0,
         runahead=int(os.environ.get("BENCH_WARMUP_B", 4)),
         batched_groups=int(os.environ.get("BENCH_WARMUP_GROUPS", 1))
         if batched else 1,
@@ -130,6 +135,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     sstate, draws, _, info = run_sampling(
         logp_grad, sstate, params, sampling_cfg, info=info,
         chain_groups=groups, device_draws=True, bf16_ends=bf16,
+        block_budget=0.0,
         flatten=bool(int(os.environ.get("BENCH_FLATTEN", 0))) and groups == 1,
         batched=batched,
         batched_groups=int(os.environ.get("BENCH_BGROUPS", default_groups))

@@ -239,6 +239,57 @@ class TestBlockBudget:
         b.finish(jnp.zeros(()), 50)
         assert b.cap == 50 and b._t0 is None
 
+    def test_per_draw_estimate_across_unequal_blocks(self):
+        """The two timed blocks commonly have different lengths (the
+        first is clipped to min_iter): the estimate must be the min of
+        the PER-DRAW rates, not min(raw dt)/n-of-the-last-block — the
+        old form underestimated per-draw cost by up to n2/n1 and let
+        later blocks blow the watchdog budget (ADVICE r4)."""
+        from walnuts_tpu.parallel.runtime import _BlockBudget
+        import time as _t
+
+        b = _BlockBudget(0.2, 50)
+        b.start()
+        _t.sleep(0.02)
+        b.finish(jnp.zeros(()), 2)    # short min_iter-clipped block
+        b.start()
+        _t.sleep(0.1)
+        b.finish(jnp.zeros(()), 20)   # full block: 5 ms/draw
+        # per-draw >= 5 ms -> 50-draw blocks need >= 0.25 s > budget:
+        # the cap must shrink (the buggy min(dt)/n gave 1 ms/draw, no
+        # shrink)
+        assert b.cap < 50
+
+    def test_early_stop_checkpoints_invariant_to_capping(self, setup):
+        """Budget capping must not move the early-stop check points:
+        capped sub-blocks accumulate to the user-config block_size
+        boundaries, so rhat_trace / warmup length / draws are identical
+        on a fast and a (transiently) slow machine (ADVICE r4)."""
+        logp_grad, fresh, wcfg, scfg = setup
+        wcfg2 = WarmupConfig(min_iter=4, max_iter=12, block_size=4)
+        scfg2 = SamplingConfig(min_iter=4, max_iter=12, block_size=4,
+                               max_step_halvings=5,
+                               rhat_converge_tol=1.0 + 1e-12)
+        outs = []
+        for budget in (0.0, 1e-9):
+            ws, _, _, winfo = run_warmup(logp_grad, fresh(), wcfg2, scfg,
+                                         block_budget=budget)
+            params = jax.vmap(freeze_params)(ws)
+            ss = jax.vmap(init_sample_state)(ws)
+            st, draws, _, info = run_sampling(
+                logp_grad, ss, params, scfg2, batched=True,
+                block_budget=budget)
+            outs.append((winfo.warmup_iters, draws, info))
+        (wit_a, draws_a, info_a), (wit_b, draws_b, info_b) = outs
+        assert wit_a == wit_b
+        assert info_a.sampling_iters == info_b.sampling_iters
+        # the trace has one entry per USER block boundary either way
+        assert len(info_a.rhat_trace) == len(info_b.rhat_trace) == 3
+        np.testing.assert_array_equal(info_a.rhat_trace,
+                                      info_b.rhat_trace)
+        np.testing.assert_array_equal(np.asarray(draws_a),
+                                      np.asarray(draws_b))
+
     def test_end_to_end_caps_blocks(self, setup):
         """A tiny budget shrinks the realized block schedule (visible
         through the checkpoint-free draws still being exact — block

@@ -245,6 +245,10 @@ def walnuts(
             raise ValueError("must specify at least one of num_params or inits")
         init_shape = np.shape(inits)
         num_params = init_shape[1] if len(init_shape) == 2 else init_shape[0]
+    if num_params <= 0:
+        raise ValueError(
+            f"num_params must be positive; found num_params = {num_params}"
+        )
 
     user_seed = seed  # None = auto-generated (recorded as such in the
     # checkpoint fingerprint: not reproducible, so resume stays allowed)

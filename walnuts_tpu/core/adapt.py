@@ -200,6 +200,11 @@ def mass_estimator_inv_mass(state: MassEstimatorState) -> Array:
     # efficiency tuning, not distribution (any positive diagonal mass is
     # a valid kernel), and is an exact no-op for every f64 oracle in the
     # suite.
+    # When BOTH variances underflow to exact 0 (a fully frozen
+    # coordinate) the quotient is 0/0 = NaN and jnp.clip passes NaN
+    # through — same dead-chain symptom by another route. No data:
+    # fall back to unit inverse mass (the estimator's own prior).
+    inv = jnp.where(jnp.isnan(inv), jnp.asarray(1.0, inv.dtype), inv)
     tiny = jnp.sqrt(jnp.asarray(jnp.finfo(inv.dtype).tiny, inv.dtype))
     return jnp.clip(inv, tiny, 1.0 / tiny)
 

@@ -123,6 +123,25 @@ def _sampling_rhat(state: SampleState) -> Array:
     return jnp.sqrt(1.0 + var_of_means / jnp.mean(variances))
 
 
+def _next_boundary(it: int, min_iter: int, block_size: int,
+                   max_iter: int) -> int:
+    """Next early-stop check point after iteration ``it``.
+
+    Check points are a function of the USER config only — ``min_iter``,
+    then every ``block_size`` after it, clamped to ``max_iter`` — never
+    of realized block lengths: when :class:`_BlockBudget` caps blocks
+    below ``block_size`` for wall-time reasons, capped sub-blocks
+    accumulate up to the same boundaries an uncapped run checks at, so
+    warmup lengths / draw counts under early stopping are identical on
+    a fast and a slow machine (the capping stays pure scheduling).
+    """
+    if it < min_iter:
+        b = min_iter
+    else:
+        b = it + block_size - ((it - min_iter) % block_size)
+    return min(b, max_iter)
+
+
 class _BlockBudget:
     """Automatic block-size capping (VERDICT r3 item 7).
 
@@ -134,10 +153,13 @@ class _BlockBudget:
     ``block_until_ready`` each — the only pipelining perturbation) and
     the per-draw device cost estimate shrinks subsequent block lengths
     to fit ``WALNUTS_BLOCK_BUDGET`` seconds (default 45; 0 disables).
-    The estimate takes the MIN of the two blocks so a cold-compile
-    first block does not over-shrink; draws are bitwise unaffected
-    (block length is pure scheduling — tests/test_runtime.py guards
-    block-size invariance).
+    The estimate takes the MIN of the two blocks' PER-DRAW rates (the
+    two timed blocks commonly have different lengths — the first is
+    clipped to ``min_iter`` — so raw wall times are not comparable) so
+    a cold-compile first block does not over-shrink; draws are bitwise
+    unaffected (block length is pure scheduling, and early-stop checks
+    fire only at user-config block boundaries — see ``_next_boundary``;
+    tests/test_runtime.py guards block-size invariance).
     """
 
     def __init__(self, budget, cap):
@@ -160,15 +182,16 @@ class _BlockBudget:
         jax.block_until_ready(state)
         dt = time.time() - self._t0
         self._t0 = None
-        self._est = dt if self._est is None else min(self._est, dt)
+        per_draw = dt / max(int(n), 1)
+        self._est = per_draw if self._est is None else min(self._est, per_draw)
         self._timed += 1
-        per_draw = self._est / max(int(n), 1)
-        # shrink immediately when one block already blew the budget;
-        # otherwise decide once both timing blocks are in
-        if self._est > self.budget or (
-            self._timed == 2 and per_draw * self.cap > self.budget
+        # shrink immediately when one block already blew the budget (raw
+        # wall time, the fast path); otherwise decide once both timing
+        # blocks' per-draw rates are in
+        if dt > self.budget or (
+            self._timed == 2 and self._est * self.cap > self.budget
         ):
-            new_cap = max(1, int(self.budget / per_draw * 0.8))
+            new_cap = max(1, int(self.budget / self._est * 0.8))
             if new_cap < self.cap:
                 self.cap = new_cap
 
@@ -360,11 +383,13 @@ def run_warmup(
             # compile: the block size and one remainder), with convergence
             # checked only once min_iter is reached — same [min, max]
             # contract, without a per-configuration recompile of the first
-            # block.
-            n = min(_budget.cap, warmup_cfg.block_size,
-                    warmup_cfg.max_iter - it)
-            if it < warmup_cfg.min_iter:
-                n = min(n, warmup_cfg.min_iter - it)
+            # block. Blocks never cross a check boundary so budget-capped
+            # sub-blocks land on the same check points as uncapped runs.
+            next_check = _next_boundary(
+                it, warmup_cfg.min_iter, warmup_cfg.block_size,
+                warmup_cfg.max_iter,
+            )
+            n = min(_budget.cap, warmup_cfg.block_size, next_check - it)
             _budget.start()
             if batched and batched_groups > 1:
                 state, outs, wcost = run_block_grouped(state, n, wcost)
@@ -387,8 +412,10 @@ def run_warmup(
             # evaluated on the final block too (not just while it can stop
             # the loop) so RunInfo reflects convergence reached exactly at
             # max_iter — the reference controller polls at the last
-            # iteration as well (adapt.hpp:203-225)
-            if it >= warmup_cfg.min_iter:
+            # iteration as well (adapt.hpp:203-225). Only at user-config
+            # boundaries: a budget-capped sub-block ending short of one
+            # accumulates instead of checking early.
+            if it == next_check and it >= warmup_cfg.min_iter:
                 converged = check()
     except KeyboardInterrupt:
         info.interrupted = True
@@ -804,10 +831,14 @@ def run_sampling(
     _budget = _BlockBudget(block_budget, sampling_cfg.block_size)
     try:
         while it < sampling_cfg.max_iter and not converged:
-            n = min(_budget.cap, sampling_cfg.block_size,
-                    sampling_cfg.max_iter - it)
-            if it < sampling_cfg.min_iter:
-                n = min(n, sampling_cfg.min_iter - it)
+            # blocks never cross a check boundary (see run_warmup): R-hat
+            # early stopping fires at the same iterations whether or not
+            # the block budget capped the realized block lengths
+            next_check = _next_boundary(
+                it, sampling_cfg.min_iter, sampling_cfg.block_size,
+                sampling_cfg.max_iter,
+            )
+            n = min(_budget.cap, sampling_cfg.block_size, next_check - it)
             _budget.start()
             if batched and batched_groups > 1:
                 state, theta, logp, group_cost = run_block_grouped(
@@ -861,8 +892,10 @@ def run_sampling(
             # also evaluated on the final block (see the warmup note): the
             # last R-hat lands in rhat_trace / on_r_hat and
             # converged_sampling is true when the tolerance is met at
-            # exactly max_iter (sampler.hpp:142-152 polls there too)
-            if it >= max(sampling_cfg.min_iter, 2):
+            # exactly max_iter (sampler.hpp:142-152 polls there too).
+            # Boundary-gated like warmup so rhat_trace / early stopping
+            # are invariant to budget capping.
+            if it == next_check and it >= max(sampling_cfg.min_iter, 2):
                 r = float(rhat_fn(state))
                 info.rhat_trace.append(r)
                 if on_r_hat is not None:
