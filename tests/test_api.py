@@ -230,6 +230,31 @@ class TestOutputs:
         out = sample(init_inv_metric=np.ones(DIM), save_inv_metric=True)
         assert out[0].warmup.inv_metric.shape == (DIM,)
 
+    def test_average_masses_geometric_mean(self):
+        """``average_masses=True`` replaces each chain's Nutpie init mass
+        with the cross-chain geometric mean (config.hpp:360-382). With a
+        zero-length warmup the saved inv_metric IS the init metric, and
+        the geometric mean commutes with inversion — so the averaged
+        run's (identical) rows must equal exp(mean(log(.))) of the
+        plain run's per-chain rows."""
+        def anisotropic(x):
+            import jax.numpy as jnp
+            return -0.5 * ((x[0] / 3.0) ** 2 + (3.0 * x[1]) ** 2)
+
+        kw = dict(num_params=2, num_chains=4, seed=77,
+                  min_warmup_iter=0, max_warmup_iter=0,
+                  min_sampling_iter=2, max_sampling_iter=2,
+                  block_size=2, adapt_init_step=False,
+                  save_inv_metric=True)
+        plain = walnuts(anisotropic, **kw)
+        avg = walnuts(anisotropic, average_masses=True, **kw)
+        im_plain = np.stack([np.asarray(o.warmup.inv_metric) for o in plain])
+        im_avg = np.stack([np.asarray(o.warmup.inv_metric) for o in avg])
+        expected = np.exp(np.mean(np.log(im_plain), axis=0))
+        for row in im_avg:
+            np.testing.assert_allclose(row, expected, rtol=1e-6)
+        assert not np.allclose(im_plain[0], im_plain[1])
+
 
 class TestStatisticalEndToEnd:
     def test_std_normal_posterior(self):

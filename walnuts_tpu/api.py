@@ -47,6 +47,7 @@ def walnuts(
     id: int = 1,
     init_radius: float = 2.0,
     init_inv_metric: Optional[np.ndarray] = None,
+    average_masses: bool = False,
     save_inv_metric: bool = False,
     min_warmup_iter: int = 50,
     max_warmup_iter: int = 1000,
@@ -100,7 +101,10 @@ def walnuts(
 ) -> Union[List[WalnutsOutputArray], Tuple[List[WalnutsOutputArray], RunInfo]]:
     """Sample from a JAX log density with adaptive WALNUTS.
 
-    Parameters follow ``walnuts_pyfunc`` (pyfunc.py:45-174). Extensions:
+    Parameters follow ``walnuts_pyfunc`` (pyfunc.py:45-174).
+    ``average_masses`` replaces each chain's Nutpie gradient-rule init
+    mass with the cross-chain geometric mean (config.hpp:360-382; only
+    meaningful without ``init_inv_metric``). Extensions:
 
     - ``dtype``: computation dtype (defaults to float64 under x64, else
       float32 — the TPU-native default).
@@ -304,6 +308,13 @@ def walnuts(
         init_mass = jax.vmap(
             lambda g: nutpie_init_mass(g, jnp.asarray(mass_additive_smoothing, dtype))
         )(grads)
+        if average_masses:
+            # cross-chain geometric mean of the Nutpie masses, broadcast
+            # back to every chain (config.hpp:360-382: average_masses on
+            # the gradient-rule builder only — an explicit metric is the
+            # user's to average)
+            geo = jnp.exp(jnp.mean(jnp.log(init_mass), axis=0))
+            init_mass = jnp.broadcast_to(geo, init_mass.shape)
 
     # --- initial step sizes, optionally heuristically adapted
     # (walnutpy.cpp:75-79 -> util.hpp:285-303); scalar or per-chain array
