@@ -98,12 +98,6 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         runahead=int(os.environ.get("BENCH_WARMUP_B", 4)),
         batched_groups=int(os.environ.get("BENCH_WARMUP_GROUPS", 1))
         if batched else 1,
-        speculate=bool(int(os.environ.get("BENCH_WARMUP_SPEC", 0)))
-        and batched,
-        multiplex=bool(int(os.environ.get("BENCH_WARMUP_MULTIPLEX",
-                                          os.environ.get("BENCH_MULTIPLEX",
-                                                         0))))
-        and batched,
     )
     jax.block_until_ready(wstate)  # dispatch is async; time the actual work
     warmup_time = time.time() - t0
@@ -123,10 +117,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     # BENCH_BGROUPS / BENCH_RUNAHEAD / BENCH_T2K override. Dynamic
     # cost-sorted groups only pay on the funnel's heavy-tailed per-chain
     # costs; logreg/SV run one group.
-    multiplex = bool(int(os.environ.get("BENCH_MULTIPLEX", 0)))
-    # multiplex replaces dynamic groups (they'd split the chain pairs);
-    # its antithetic pairing covers the same cost heterogeneity
-    default_groups = 4 if model_name == "funnel" and not multiplex else 1
+    default_groups = 4 if model_name == "funnel" else 1
     # per-model (B, K) from the round-3 knob sweep (docs/BENCHMARKS.md):
     # the funnel's cheap body wants a shallow B=4 buffer (-6.5%), the
     # 1003-dim SV's wide tier-2 rows want K=12 amortisation (-17%).
@@ -144,22 +135,26 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         tier2_every=int(os.environ.get("BENCH_T2K", default_t2k)),
         pallas_replay=bool(int(os.environ.get("BENCH_PREPLAY", 0))),
         fresh_cur=bool(int(os.environ.get("BENCH_FRESHCUR", 0))),
-        speculate=bool(int(os.environ.get("BENCH_SPEC", 0))) and batched,
         # fused tier-2 pass kernel (ops/fused_pass.py) — LOST its
         # round-4 A/B in both kernel orientations (docs/BENCHMARKS.md
         # "Fused-pass kernel post-mortem"); off by default
         pallas_pass=bool(int(os.environ.get("BENCH_PPASS", 0))) and batched
         and not any(int(os.environ.get(k, 0)) for k in
-                    ("BENCH_SPEC", "BENCH_MULTIPLEX", "BENCH_FRESHCUR",
-                     "BENCH_BF16_ENDS")),
-        # BENCH_MULTIPLEX=1: sample the SAME chain count on half the
-        # lanes (two chains per lane, switch at draw boundaries) — set
-        # BENCH_CHAINS higher to trade it for more chains instead
-        multiplex=multiplex and batched,
+                    ("BENCH_FRESHCUR", "BENCH_BF16_ENDS")),
         unroll=unroll,
     )
     jax.block_until_ready((sstate, draws))
     sampling_time = time.time() - t0
+    # per-chain sampling grads + a dim-0/1 draw slice for the tight
+    # parity statistics (walnuts_tpu.parity; ~13 MB host copy at the
+    # funnel flagship shape — negligible, and OUTSIDE the timed region)
+    wg_chain = np.asarray(wstate.n_grads, np.int64)
+    sg_chain = np.asarray(info.n_grads, np.int64) - wg_chain
+    n_blocks = -(-sampling_iters // min(block, max(sampling_iters, 1)))
+    sg_chain_ref = sg_chain + (
+        (sampling_iters - n_blocks) if batched else 0
+    )
+    d01 = np.asarray(jax.device_get(draws[:, :, :2]), np.float64)
     t0 = time.time()
     # Round 4: the bench is device-resident end to end by default —
     # the funnel's host transfer alone cost ~27 s/seed on this tunnel
@@ -189,6 +184,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     )
     return {
         "draws": draws,  # (iters, C, D); jax array when dim > 256
+        "tight_inputs": (np.moveaxis(d01, 0, 1), sg_chain_ref),  # (C,N,2)
         "warmup_time": warmup_time,
         "sampling_time": sampling_time,
         "transfer_time": transfer_time,
@@ -245,11 +241,23 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
     per_seed_time = []  # transient worker slowdowns show up here
     per_seed_grads = []  # per-seed ESS/grad -> parity-ratio seed spread
     per_seed_grads_ref = []  # reference-accounting counters (see _run_once)
+    tight_rhos, tight_xs, tight_live_g, tight_live_n = [], [], 0, 0
     agg = None
     for s in range(n_seeds):
         r = _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters,
                       seed + 1 + s, jnp.float32, model_name=model_name)
         draws = r.pop("draws")
+        d01, sg_chain_ref = r.pop("tight_inputs")
+        if model_name in ("funnel", "sv"):
+            # tight fixed-window parity statistics (walnuts_tpu.parity):
+            # live-chain autocorrelations + ref-accounting grads
+            from walnuts_tpu.parity import chain_autocorr_stats
+
+            rho, live, x = chain_autocorr_stats(d01)
+            tight_rhos.append(rho)
+            tight_xs.append(x)
+            tight_live_g += int(sg_chain_ref[live].sum())
+            tight_live_n += int(live.sum())
         # ESS over ALL dims; the native baseline records all dims too
         # (csrc/baseline_bench.cpp keep_dims), so the median-ESS estimator
         # is the same protocol on both sides of vs_baseline
@@ -281,6 +289,40 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
          for k, v in agg.items()}
     ess_median = float(np.mean(per_seed_ess))
     total_time = r["warmup_time"] + r["sampling_time"]
+    tight = None
+    if tight_rhos:
+        from walnuts_tpu.parity import tight_ratio, tight_summary
+
+        tight = tight_summary(
+            np.concatenate(tight_rhos), np.concatenate(tight_xs),
+            tight_live_g / max(tight_live_n * sampling_iters, 1),
+        )
+        # certifiable ratio vs the checked-in native tight stats
+        # (docs/parity_tight_r4.json funnel; docs/parity_tight_sv_r5.json
+        # SV — regenerate with tools/parity_tight.py when the native
+        # protocol changes). The pooled matched fields below are
+        # noisy-legacy next to this (±30-40 % seed noise).
+        npath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "docs",
+            "parity_tight_r4.json" if model_name == "funnel"
+            else "parity_tight_sv_r5.json")
+        if os.path.exists(npath):
+            with open(npath) as f:
+                native = json.load(f).get("native")
+            if native and warmup_iters == (
+                400 if model_name == "funnel" else 200
+            ) and sampling_iters == warmup_iters and n_chains == (
+                4096 if model_name == "funnel" else 1024
+            ):
+                rt, se = tight_ratio(tight, native)
+                tight["ratio_vs_native"] = rt
+                tight["ratio_se"] = se
+            else:
+                tight["ratio_vs_native"] = None  # protocol mismatch:
+                # the stored native stats are for the flagship protocol
+        tight.pop("rho_bar", None)
+        tight.pop("rho_bar_se", None)
+        tight["accounting"] = "live-chain, reference counters"
     return {
         "model": model_name,
         "dim": dim,
@@ -301,6 +343,7 @@ def _ess_per_sec(model_name, n_chains, warmup_iters, sampling_iters, seed):
         "ess_per_grad": float(ess_median / r["total_grads"]),
         "ess_per_grad_ref_acct": float(
             ess_median / r["total_grads_ref_acct"]),
+        **({"tight": tight} if tight else {}),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()},
     }
 
@@ -363,6 +406,42 @@ def main():
     sampling_iters = int(os.environ.get("BENCH_SAMPLING", 400))
 
     backend = jax.default_backend()
+
+    # Fixed-work calibration arm (VERDICT r4 item 4): a deterministic
+    # elementwise loop timed on the same device immediately before the
+    # models. Cross-round headline movement at the ±20 % level
+    # (observed: logreg 10.73x vs 8.37x on the SAME build within one
+    # day) is attributable iff this number moved with it — the axon
+    # worker's speed state drifts after crashes (CLAUDE.md). The work
+    # is deliberately SMALL and synchronized by a host VALUE fetch:
+    # axon's block_until_ready can return before remote execution
+    # finishes, and a big un-awaited dispatch wedges the worker for
+    # many minutes (measured the hard way, round 5). Take the min of 3
+    # reps (dispatch jitter).
+    def _calibration_time():
+        import jax.numpy as jnp_
+
+        x = jax.random.normal(jax.random.key(0), (1024, 1024), jnp_.float32)
+
+        @jax.jit
+        def work(x):
+            y = jax.lax.fori_loop(
+                0, 50, lambda i, x: 0.999 * x + 0.001 * jnp_.tanh(x), x
+            )
+            return y.sum()
+
+        float(work(x))  # compile + first run outside the timing
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            float(work(x))
+            reps.append(time.time() - t0)
+        return round(min(reps), 4)
+
+    try:
+        calibration_time = _calibration_time()
+    except Exception:  # never let the control arm kill the bench line
+        calibration_time = None
     # headline metric = funnel + logreg geomean (BASELINE.json); the
     # 1003-dim stochastic-volatility flagship (configs[4]) runs by default
     # into the detail (its matched parity ratio belongs in every round's
@@ -460,6 +539,7 @@ def main():
                 "vs_baseline": vs_baseline,
                 "backend": backend,
                 "n_chains": n_chains,
+                "calibration_time": calibration_time,
                 "detail": results,
             }
         )

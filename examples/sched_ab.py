@@ -7,12 +7,12 @@ the full draw count. Scheduling knobs never change the draws (bitwise,
 tests/test_batched.py), so wall time is the whole comparison.
 
 Usage:
-    python examples/sched_ab.py funnel 4096 '[{"speculate":true,"tier2_every":12}, {}]'
+    python examples/sched_ab.py funnel 4096 '[{"tier2_every":12}, {}]'
 
 Env: AB_DRAWS (400), AB_REPS (2), AB_BLOCK (100), AB_WARMUP (400),
 AB_HALVINGS (8). Each config dict is passed as ``run_sampling`` kwargs on
 top of ``batched=True, device_draws=True``; ``n_chains`` in a config
-overrides the chain count for that arm (e.g. the multiplex throughput
+overrides the chain count for that arm (e.g. a throughput
 arm). Prints one JSON line per config as it lands, plus a final summary.
 """
 

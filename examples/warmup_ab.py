@@ -5,7 +5,7 @@ schedule is exact across arms — keys/ints bitwise, floats ~1 ulp/observe;
 docs/BENCHMARKS.md round 3), so wall time decides the default. One
 compile pass (half-length warmup) precedes each timed arm.
 
-Usage: python examples/warmup_ab.py funnel 4096 '[{"batched":false},{"batched":true},{"batched":true,"multiplex":true}]'
+Usage: python examples/warmup_ab.py funnel 4096 '[{"batched":false},{"batched":true},{"batched":true,"runahead":8}]'
 Env: AB_WARMUP (400), AB_BLOCK (100), AB_REPS (2), AB_HALVINGS (8).
 """
 

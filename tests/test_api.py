@@ -230,6 +230,25 @@ class TestOutputs:
         out = sample(init_inv_metric=np.ones(DIM), save_inv_metric=True)
         assert out[0].warmup.inv_metric.shape == (DIM,)
 
+    def test_model_dtype_island(self):
+        """``model_dtype`` evaluates the model in that dtype (trace-time
+        observable) while draws/state stay in ``dtype``."""
+        import jax.numpy as jnp
+        seen = []
+
+        def lp(x):
+            seen.append(x.dtype)
+            return -0.5 * jnp.sum(x * x)
+
+        out = walnuts(lp, num_params=2, num_chains=2, seed=3,
+                      min_warmup_iter=4, max_warmup_iter=4,
+                      min_sampling_iter=4, max_sampling_iter=4,
+                      block_size=4, model_dtype=jnp.float32)
+        assert all(d == jnp.float32 for d in seen) and seen
+        assert np.isfinite(np.asarray(out[0])).all()
+        # draws come back in the sampler dtype (f64 under the x64 conftest)
+        assert out[0].dtype == np.float64
+
     def test_average_masses_geometric_mean(self):
         """``average_masses=True`` replaces each chain's Nutpie init mass
         with the cross-chain geometric mean (config.hpp:360-382). With a

@@ -78,7 +78,7 @@ def warmed():
 
 def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
                 defer_splits=True, pallas_replay=False, fresh_cur=False,
-                speculate=False, multiplex=False, bounded_sweeps=None):
+                bounded_sweeps=None):
     lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
     ss = jax.tree.map(jnp.array, warmed["ss"])
     start_block, sample_block = make_batched_sample_block(
@@ -91,8 +91,6 @@ def run_batched(warmed, B, K, num_draws=DRAWS, min_latched=1,
         defer_splits=defer_splits,
         pallas_replay=pallas_replay,
         fresh_cur=fresh_cur,
-        speculate=speculate,
-        multiplex=multiplex,
         bounded_sweeps=bounded_sweeps,
     )
 
@@ -146,123 +144,6 @@ class TestBatchedBitwise:
         np.testing.assert_array_equal(
             key_data, np.asarray(jax.random.key_data(res.key))
         )
-
-    @pytest.mark.parametrize(
-        "B,K,T",
-        [(8, 6, 1), (4, 12, 1), (1, 0, 1), (8, 0, 1), (16, 2, 1),
-         (8, 4, 5)],
-    )
-    def test_speculate_bitwise_equal_classic(self, warmed, B, K, T):
-        """Speculative leaf continuation (a lane keeps integrating the
-        next leaf while its accepted leaf awaits tier-2 resolution; a
-        pass resolves up to two leaves per lane, with exact rollback of
-        splits/Adam/fails/grads on a sub-U-turn mispredict) is pure
-        scheduling: draws, log densities, depths, gradient counts, fail
-        counters, and end-of-block keys all stay bitwise equal to the
-        classic sampler."""
-        th, lp, dep, key_data, _ = warmed["classic"]
-        res = run_batched(warmed, B, K, min_latched=T, speculate=True)
-        np.testing.assert_array_equal(th, np.asarray(res.draws))
-        np.testing.assert_array_equal(lp, np.asarray(res.logps))
-        np.testing.assert_array_equal(dep, np.asarray(res.depths))
-        np.testing.assert_array_equal(
-            key_data, np.asarray(jax.random.key_data(res.key))
-        )
-
-    def test_speculate_reduces_passes(self, warmed):
-        """The two-leaf tier-2 resolution must retire leaves faster than
-        one pass per max-lane leaf: fewer outer passes than the
-        non-speculative schedule at the same (B, K)."""
-        base = run_batched(warmed, 8, 6)
-        spec = run_batched(warmed, 8, 6, speculate=True)
-        assert int(spec.n_outer_trips) < int(base.n_outer_trips)
-        np.testing.assert_array_equal(
-            np.asarray(base.n_grads_delta), np.asarray(spec.n_grads_delta)
-        )
-
-    def test_speculate_option_validation(self, warmed):
-        lg, scfg = warmed["lg"], warmed["scfg"]
-        with pytest.raises(ValueError, match="defer_splits"):
-            make_batched_sample_block(
-                lg, scfg.max_trajectory_doublings,
-                scfg.max_step_halvings, speculate=True,
-                defer_splits=False,
-            )
-        with pytest.raises(ValueError, match="pallas_replay"):
-            make_batched_sample_block(
-                lg, scfg.max_trajectory_doublings,
-                scfg.max_step_halvings, speculate=True,
-                pallas_replay=True,
-            )
-
-    @pytest.mark.parametrize(
-        "spec,bounded",
-        # bounded covers the multiplexed (C, 2)-celled banking write in
-        # BOTH sweep forms (the static form indexes an extra chain-slot
-        # axis)
-        [(False, None), (True, None), (False, True), (False, False)],
-    )
-    def test_multiplex_schedule_bitwise(self, warmed, spec, bounded):
-        """Chain multiplexing (two chains per lane, switching at draw
-        boundaries) is the same per-chain Markov schedule: keys, depths,
-        gradient counts, and fail counters are bitwise the
-        one-chain-per-lane scheduler's. Draw FLOATS are the same
-        real-number chain but drift ~1 ulp under jit (the active chain's
-        step/inv_mass become loop carries, changing XLA's leapfrog
-        contraction — the fresh_cur class; eager bitwise is pinned by
-        test_multiplex_exact_logic_eager)."""
-        th, lp, dep, key_data, _ = warmed["classic"]
-        res = run_batched(warmed, 8, 4, multiplex=True, speculate=spec,
-                          bounded_sweeps=bounded)
-        np.testing.assert_array_equal(dep, np.asarray(res.depths))
-        np.testing.assert_array_equal(
-            key_data, np.asarray(jax.random.key_data(res.key))
-        )
-        base = run_batched(warmed, 8, 4)
-        np.testing.assert_array_equal(
-            np.asarray(base.n_grads_delta), np.asarray(res.n_grads_delta)
-        )
-        for a, b in zip(jax.tree.leaves(base.fails_delta),
-                        jax.tree.leaves(res.fails_delta)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        np.testing.assert_allclose(th, np.asarray(res.draws),
-                                   rtol=1e-9, atol=1e-9)
-        np.testing.assert_allclose(lp, np.asarray(res.logps),
-                                   rtol=1e-9, atol=1e-9)
-
-    def test_multiplex_exact_logic_eager(self, warmed):
-        """Eager mode (unfused per-op rounding) proves the multiplexed
-        chains compute the exact same real-number draws. Short horizon:
-        eager while loops are slow."""
-        with jax.disable_jit():
-            r0 = run_batched(warmed, 4, 3, num_draws=2)
-            r1 = run_batched(warmed, 4, 3, num_draws=2, multiplex=True)
-        np.testing.assert_array_equal(np.asarray(r0.draws),
-                                      np.asarray(r1.draws))
-        np.testing.assert_array_equal(np.asarray(r0.logps),
-                                      np.asarray(r1.logps))
-        np.testing.assert_array_equal(
-            np.asarray(jax.random.key_data(r0.key)),
-            np.asarray(jax.random.key_data(r1.key)),
-        )
-
-    def test_multiplex_option_validation(self, warmed):
-        """Odd chain counts cannot pair: start_block raises at trace
-        time with a clean ValueError."""
-        lg, scfg, params = warmed["lg"], warmed["scfg"], warmed["params"]
-        ss = jax.tree.map(jnp.array, warmed["ss"])
-        odd = jax.tree.map(lambda x: x[:15], ss)
-        params_odd = jax.tree.map(lambda x: x[:15], params)
-        start_block, _ = make_batched_sample_block(
-            lg, scfg.max_trajectory_doublings, scfg.max_step_halvings,
-            multiplex=True,
-        )
-        with pytest.raises(ValueError, match="even chain count"):
-            start_block(
-                odd.key, odd.theta, odd.n_grads, odd.fails,
-                params_odd.step_size, params_odd.inv_mass,
-                params_odd.min_micro,
-            )
 
     @pytest.mark.parametrize("B,K", [(8, 6), (4, 12)])
     def test_pallas_replay_bitwise_equal_classic(self, warmed, B, K):
@@ -393,34 +274,6 @@ class TestBatchedDeepOrbits:
         np.testing.assert_array_equal(np.asarray(lp), np.asarray(res.logps))
         np.testing.assert_array_equal(np.asarray(dep), np.asarray(res.depths))
 
-        # speculation under deep trees: long subtrees give lanes many
-        # chances to speculate and the cascade many multi-level merges
-        # (= sub-U-turn mispredict flushes); still bitwise
-        start_block_s, sample_block_s = make_batched_sample_block(
-            lg, scfg.max_trajectory_doublings, scfg.max_step_halvings,
-            runahead=4, tier2_every=6, speculate=True,
-        )
-        ss3 = jax.tree.map(jnp.array, warmed["ss"])
-
-        @jax.jit
-        def blk_s(s):
-            st = start_block_s(
-                s.key, s.theta, s.n_grads, s.fails,
-                deep.step_size, deep.inv_mass, deep.min_micro,
-            )
-            return sample_block_s(
-                st, deep.step_size, deep.inv_mass, deep.min_micro,
-                jnp.asarray(scfg.max_hamiltonian_error), 8,
-            )
-
-        res_s = blk_s(ss3)
-        np.testing.assert_array_equal(np.asarray(th),
-                                      np.asarray(res_s.draws))
-        np.testing.assert_array_equal(np.asarray(dep),
-                                      np.asarray(res_s.depths))
-        np.testing.assert_array_equal(np.asarray(res.n_grads_delta),
-                                      np.asarray(res_s.n_grads_delta))
-
 
 class TestBatchedRuntime:
     """run_sampling(batched=...) must reproduce the classic runtime's
@@ -451,50 +304,6 @@ class TestBatchedRuntime:
         state, draws, logps, info = run_sampling(
             warmed["lg"], ss, warmed["params"], scfg,
             batched=True, batched_groups=groups, runahead=4, tier2_every=3,
-        )
-        np.testing.assert_array_equal(draws_c, np.asarray(draws))
-        np.testing.assert_array_equal(logps_c, np.asarray(logps))
-
-    def test_multiplex_matches_classic_across_blocks(self, warmed,
-                                                     classic_run):
-        """run_sampling(multiplex=True): 3 blocks of 8 — the block
-        boundary reconstructs per-chain keys/counters from the
-        parked/live split and re-enters exactly like the classic path.
-        Schedule bitwise (keys/depths via n_grads), draws at the jit
-        contraction tolerance."""
-        from walnuts_tpu.parallel.runtime import run_sampling
-
-        scfg, draws_c, logps_c = classic_run
-        ss = jax.tree.map(jnp.array, warmed["ss"])
-        state, draws, logps, info = run_sampling(
-            warmed["lg"], ss, warmed["params"], scfg,
-            batched=True, runahead=4, tier2_every=3, multiplex=True,
-        )
-        np.testing.assert_allclose(draws_c, np.asarray(draws),
-                                   rtol=1e-9, atol=1e-9)
-        np.testing.assert_allclose(logps_c, np.asarray(logps),
-                                   rtol=1e-9, atol=1e-9)
-        ss2 = jax.tree.map(jnp.array, warmed["ss"])
-        state_b, _, _, _ = run_sampling(
-            warmed["lg"], ss2, warmed["params"], scfg,
-            batched=True, runahead=4, tier2_every=3,
-        )
-        np.testing.assert_array_equal(
-            np.asarray(jax.random.key_data(state_b.key)),
-            np.asarray(jax.random.key_data(state.key)),
-        )
-        np.testing.assert_array_equal(np.asarray(state_b.n_grads),
-                                      np.asarray(state.n_grads))
-
-    def test_speculate_matches_classic_across_blocks(self, warmed,
-                                                     classic_run):
-        from walnuts_tpu.parallel.runtime import run_sampling
-
-        scfg, draws_c, logps_c = classic_run
-        ss = jax.tree.map(jnp.array, warmed["ss"])
-        _, draws, logps, _ = run_sampling(
-            warmed["lg"], ss, warmed["params"], scfg,
-            batched=True, runahead=4, tier2_every=3, speculate=True,
         )
         np.testing.assert_array_equal(draws_c, np.asarray(draws))
         np.testing.assert_array_equal(logps_c, np.asarray(logps))
@@ -601,67 +410,6 @@ class TestBatchedRuntime:
             np.asarray(ws_b.n_grads), np.asarray(ws_c.n_grads) - 33
         )
 
-        # within the async family, run-ahead depth and cost-sorted
-        # groups are scheduling-only and BITWISE; speculative leaf
-        # continuation is schedule-exact too but its pass program fuses
-        # the adaptation arithmetic differently under jit (eager-exact,
-        # verified; ~1 ulp/pass jitted — the fresh_cur correctness
-        # class), so it gets keys/ints bitwise + floats at tolerance
-        ws_s, ds, ls, _ = run_warmup(
-            lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
-            speculate=True,
-        )
-        np.testing.assert_array_equal(
-            jax.random.key_data(ws_b.key), jax.random.key_data(ws_s.key)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(ws_b.iteration), np.asarray(ws_s.iteration)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(ws_b.n_grads), np.asarray(ws_s.n_grads)
-        )
-        np.testing.assert_allclose(db, ds, rtol=1e-9, atol=1e-9)
-        np.testing.assert_allclose(lb, ls, rtol=1e-9, atol=1e-9)
-        ps = jax.vmap(freeze_params)(ws_s)
-        np.testing.assert_allclose(
-            np.asarray(pb.step_size), np.asarray(ps.step_size), rtol=1e-9
-        )
-        np.testing.assert_allclose(
-            np.asarray(pb.inv_mass), np.asarray(ps.inv_mass), rtol=1e-9
-        )
-        np.testing.assert_array_equal(
-            np.asarray(pb.min_micro), np.asarray(ps.min_micro)
-        )
-
-        # multiplexed warmup (two chains per lane, full adaptation-state
-        # swap at switches): keys/ints bitwise and — measured — the
-        # adapted floats and draws bitwise too on this program (the
-        # estimator arithmetic runs on the same materialised carries)
-        ws_m, dmx, lmx, _ = run_warmup(
-            lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
-            multiplex=True,
-        )
-        np.testing.assert_array_equal(
-            jax.random.key_data(ws_b.key), jax.random.key_data(ws_m.key)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(ws_b.iteration), np.asarray(ws_m.iteration)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(ws_b.n_grads), np.asarray(ws_m.n_grads)
-        )
-        np.testing.assert_allclose(db, dmx, rtol=1e-9, atol=1e-9)
-        pm = jax.vmap(freeze_params)(ws_m)
-        np.testing.assert_allclose(
-            np.asarray(pb.step_size), np.asarray(pm.step_size), rtol=1e-9
-        )
-        np.testing.assert_allclose(
-            np.asarray(pb.inv_mass), np.asarray(pm.inv_mass), rtol=1e-9
-        )
-        np.testing.assert_array_equal(
-            np.asarray(pb.min_micro), np.asarray(pm.min_micro)
-        )
-
         # Within the async family, run-ahead depth and cost-sorted
         # groups are scheduling-only: keys/ints are BITWISE across B /
         # groups, and the warmup floats agree to contraction tolerance.
@@ -697,65 +445,6 @@ class TestBatchedRuntime:
                             jax.tree.leaves(ws_b1.mass)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-9, atol=1e-12)
-
-    def test_speculate_warmup_exact_logic_eager(self):
-        """Warmup speculation computes the exact same real-number
-        adaptation chain — proven bitwise in EAGER mode (each op runs
-        unfused), including the Adam/estimator rollback on mispredict
-        flushes. Under jit it is schedule-exact but the adapted floats
-        drift ~1 ulp/pass (the pass program fuses the adaptation
-        arithmetic differently — the fresh_cur contraction class; the
-        jit path is pinned at tolerance by
-        test_batched_warmup_matches_classic). Tiny shapes: eager while
-        loops are slow."""
-        from walnuts_tpu.config import SamplingConfig, WarmupConfig
-        from walnuts_tpu.core.adapt import nutpie_init_mass
-        from walnuts_tpu.core.batched import make_batched_warmup_block
-        from walnuts_tpu.core.sampler import init_warmup_state
-        from walnuts_tpu.models import funnel as funnel_model
-        from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
-
-        C, N = 6, 6
-        logp, dim = funnel_model(5)
-        lg = make_logp_grad(logp)
-        wcfg = WarmupConfig(min_iter=N, max_iter=N, block_size=N)
-        scfg = SamplingConfig(
-            min_iter=4, max_iter=4, block_size=4, max_step_halvings=6
-        )
-        base = jax.random.key(3)
-        keys = jax.vmap(lambda c: jax.random.fold_in(base, c))(
-            jnp.arange(C)
-        )
-        theta0 = 2.0 * jax.random.normal(
-            jax.random.fold_in(base, 99), (C, dim)
-        )
-        grads = jax.vmap(lambda t: lg(t)[1])(theta0)
-        im0 = jax.vmap(lambda g: nutpie_init_mass(g, jnp.asarray(1e-5)))(
-            grads
-        )
-        step0 = jax.vmap(
-            lambda k, t, m: adapt_step_size(k, lg, t, m, jnp.asarray(1.0))
-        )(keys, theta0, im0)
-
-        def run(spec):
-            ws = jax.vmap(
-                lambda k, t, m, s: init_warmup_state(k, t, m, s, wcfg, scfg)
-            )(keys, theta0, im0, step0)
-            blk = make_batched_warmup_block(lg, scfg, speculate=spec)
-            with jax.disable_jit():
-                ws, (th, _lp) = blk(ws, N)
-            return ws, np.asarray(th)
-
-        wa, tha = run(False)
-        wb, thb = run(True)
-        np.testing.assert_array_equal(tha, thb)
-        for est_a, est_b in ((wa.mass, wb.mass), (wa.adam, wb.adam),
-                             (wa.min_micro, wb.min_micro)):
-            for x, y in zip(jax.tree.leaves(est_a), jax.tree.leaves(est_b)):
-                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-        np.testing.assert_array_equal(
-            jax.random.key_data(wa.key), jax.random.key_data(wb.key)
-        )
 
     def test_api_batched_end_to_end(self):
         """walnuts(batched=True, batched_groups=2) matches the classic

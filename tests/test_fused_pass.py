@@ -150,8 +150,7 @@ def test_incompatible_options_raise():
     def fake_lg(t):
         return -0.5 * jnp.sum(t**2), -t
 
-    for kw in ({"speculate": True}, {"multiplex": True},
-               {"fresh_cur": True}, {"bf16_ends": True},
+    for kw in ({"fresh_cur": True}, {"bf16_ends": True},
                {"defer_splits": False}, {"pallas_replay": True}):
         with pytest.raises(ValueError):
             make_batched_sample_block(fake_lg, 10, 5, pallas_pass=True,

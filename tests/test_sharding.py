@@ -128,25 +128,6 @@ class TestShardedSampling:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-10)
 
-    def test_speculate_on_mesh_matches_single_device(self, mesh):
-        """Speculative leaf continuation adds only per-lane selects and
-        the same class of cross-lane reductions (jnp.any in the
-        second-resolution bound, jnp.max in the replay bound), so it
-        shards exactly like the base batched scheduler — same ULP-level
-        mesh-vs-single tolerance as above."""
-        logp, dim = std_normal(3)
-        kwargs = dict(
-            num_params=dim, num_chains=16, seed=99,
-            min_warmup_iter=12, max_warmup_iter=12,
-            min_sampling_iter=12, max_sampling_iter=12, block_size=6,
-            batched=True, speculate=True,
-        )
-        out_mesh = walnuts(logp, mesh=mesh, **kwargs)
-        out_single = walnuts(logp, mesh=None, **kwargs)
-        for a, b in zip(out_mesh, out_single):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-10)
-
     def test_early_stopping_on_mesh(self, mesh):
         logp, dim = std_normal(2)
         out, info = walnuts(

@@ -1,11 +1,11 @@
-"""TPU A/B harness for the round-3 scheduler options (speculate /
-multiplex / async warmup / tier-2 knobs).
+"""TPU A/B harness for the scheduler options (async warmup /
+tier-2 knobs; the removed speculate/multiplex arms live in git history).
 
 Recreated after the 2026-08-17 worker outage wiped the /tmp scripts
 (docs/ROADMAP.md item 4). Reuses ``bench._run_once`` so every arm runs
 the exact bench protocol: funnel(101) x 4096 chains, 400+400 iters,
 f32, fixed blocks of 100, max_step_halvings=8. Draws are bitwise (or
-1-ulp, multiplex) equal across arms, so wall time is the only metric
+1-ulp) equal across arms, so wall time is the only metric
 that differs; ESS is recomputed only for the chain-count-changing
 throughput arm.
 
@@ -33,15 +33,7 @@ ARMS = {
     "base": ({}, 4096),
     # classic vmapped path (also the classic-warmup reference for the warmup A/B)
     "classic": ({"BENCH_BATCHED": "0"}, 4096),
-    # speculative leaf continuation at the two K points (spec changes K economics)
-    "spec_k6": ({"BENCH_SPEC": "1"}, 4096),
-    "spec_k12": ({"BENCH_SPEC": "1", "BENCH_T2K": "12"}, 4096),
     "k12": ({"BENCH_T2K": "12"}, 4096),
-    # multiplex protocol arm: same 4096 chains on 2048 lanes
-    "mux": ({"BENCH_MULTIPLEX": "1"}, 4096),
-    "mux_spec": ({"BENCH_MULTIPLEX": "1", "BENCH_SPEC": "1"}, 4096),
-    # multiplex throughput arm: 8192 chains on 4096 lanes (ESS changes; recomputed)
-    "mux_8192": ({"BENCH_MULTIPLEX": "1"}, 8192),
     # fresh-cur pass-traffic lever (bitwise; pure wall A/B)
     "freshcur": ({"BENCH_FRESHCUR": "1"}, 4096),
     # round-4 fused tier-2 pass kernel (ops/fused_pass.py; bitwise)
@@ -50,9 +42,9 @@ ARMS = {
 }
 
 BASE_ENV = [
-    "BENCH_BATCHED", "BENCH_SPEC", "BENCH_T2K", "BENCH_MULTIPLEX",
+    "BENCH_BATCHED", "BENCH_T2K",
     "BENCH_FRESHCUR", "BENCH_BGROUPS", "BENCH_RUNAHEAD",
-    "BENCH_WARMUP_SPEC", "BENCH_WARMUP_MULTIPLEX", "BENCH_PPASS",
+    "BENCH_PPASS",
 ]
 
 

@@ -30,11 +30,12 @@ replays the exact bench.py flagship protocols and stores dim-0/1
 draws + per-chain grad counters per seed.
 
 Usage:
-  python tools/parity_tight.py tpu [seed...]         # funnel f32 seeds
-  python tools/parity_tight.py tpu-sv [seed...]      # SV f32 seeds
-  python tools/parity_tight.py tpu-sv-f64 [seed...]  # SV f64 seeds
-  python tools/parity_tight.py analyze               # funnel vs native
-  python tools/parity_tight.py analyze-sv            # SV arms vs native
+  python tools/parity_tight.py tpu [seed...]          # funnel f32 seeds
+  python tools/parity_tight.py tpu-sv [seed...]       # SV f32 seeds
+  python tools/parity_tight.py tpu-sv-f64 [seed...]   # SV f64 seeds
+  python tools/parity_tight.py tpu-sv-mixed [seed...] # SV f64 state + f32 model
+  python tools/parity_tight.py analyze                # funnel vs native
+  python tools/parity_tight.py analyze-sv             # SV arms vs native
 
 Round-4 funnel result: ratio 1.0081 +/- 0.0018 (docs/parity_tight_r4.json).
 
@@ -49,11 +50,19 @@ import sys
 
 import numpy as np
 
-LAGS = 24  # fixed window; dim-0 rho_k decays smoothly over this range
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from walnuts_tpu.parity import (  # noqa: E402
+    LAGS,
+    chain_autocorr_stats as _chain_stats,
+    tight_summary as _summ,
+    tight_ratio as _tight_ratio,
+)
+
 TPU_OUT = "/tmp/parity_tight_tpu_s{seed}.npz"
 NATIVE_GLOB = "/tmp/native_funnel_tight_s*.bin"
 TPU_SV_OUT = "/tmp/parity_tight_tpu_sv_s{seed}.npz"
 TPU_SV64_OUT = "/tmp/parity_tight_tpu_sv64_s{seed}.npz"
+TPU_SVMIXED_OUT = "/tmp/parity_tight_tpu_svmixed_s{seed}.npz"
 NATIVE_SV_GLOB = "/tmp/native_sv_tight_s*.bin"
 
 # bench.py flagship protocols (keep in sync with bench._run_once /
@@ -67,11 +76,12 @@ PROTO = {
 }
 
 
-def run_tpu(seed: int, model: str = "funnel", f64: bool = False) -> None:
+def run_tpu(seed: int, model: str = "funnel", f64: bool = False,
+            mixed: bool = False) -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     import jax
 
-    if f64:
+    if f64 or mixed:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -92,9 +102,16 @@ def run_tpu(seed: int, model: str = "funnel", f64: bool = False) -> None:
         logp, dim = stochastic_volatility()
     else:
         logp, dim = funnel(101)
+    if mixed:
+        # the shipped model_dtype=f32 island (api.py): f64 sampler state,
+        # model value+gradient in f32 cast up
+        _logp64 = logp
+
+        def logp(theta):
+            return _logp64(theta.astype(jnp.float32)).astype(jnp.float64)
     logp_grad = make_logp_grad(logp)
     C, W, N = p["C"], p["W"], p["N"]
-    dtype = jnp.float64 if f64 else jnp.float32
+    dtype = jnp.float64 if (f64 or mixed) else jnp.float32
     wc = WarmupConfig(min_iter=W, max_iter=W, block_size=min(p["block"], W))
     sc = SamplingConfig(min_iter=N, max_iter=N, block_size=min(p["block"], N),
                         max_step_halvings=8)
@@ -125,59 +142,18 @@ def run_tpu(seed: int, model: str = "funnel", f64: bool = False) -> None:
     blocks = N // sc.block_size
     sg_ref = sg + (N - blocks)
     d01 = np.asarray(jax.device_get(dr[:, :, :2]), np.float64)  # (N, C, 2)
-    out = (TPU_SV64_OUT if f64 else TPU_SV_OUT) if model == "sv" else TPU_OUT
+    out = (TPU_SVMIXED_OUT if mixed else TPU_SV64_OUT if f64
+           else TPU_SV_OUT) if model == "sv" else TPU_OUT
     np.savez(out.format(seed=seed),
              draws=np.moveaxis(d01, 0, 1),  # (C, N, 2)
              sg=sg, sg_ref=sg_ref)
-    print(f"{model}{'-f64' if f64 else ''} seed {seed}: draws (C,N,2) saved, "
+    tag = "-mixed" if mixed else "-f64" if f64 else ""
+    print(f"{model}{tag} seed {seed}: draws (C,N,2) saved, "
           f"sampling grads {sg.sum()} (ref-acct {sg_ref.sum()})")
 
 
-def _chain_stats(draws_c: np.ndarray):
-    """Per-chain rho_1..rho_K of dim 0. draws_c: (C, N, >=1)."""
-    x = draws_c[:, :, 0]
-    C, N = x.shape
-    xc = x - x.mean(axis=1, keepdims=True)
-    var = (xc * xc).mean(axis=1)
-    live = var > 0
-    rho = np.empty((C, LAGS))
-    for k in range(1, LAGS + 1):
-        rho[:, k - 1] = (xc[:, :-k] * xc[:, k:]).sum(axis=1) / (N * np.where(var > 0, var, 1.0))
-    return rho[live], live, x[live]
-
-
-def _summ(rho_live: np.ndarray, x_live: np.ndarray, sg_per_chain_draw: float):
-    C = rho_live.shape[0]
-    rb = rho_live.mean(axis=0)
-    se = rho_live.std(axis=0, ddof=1) / np.sqrt(C)
-    tail = 1.0 + 2.0 * rb.sum()
-    ess_frac = 1.0 / tail
-    # delta method: var(ess_frac) = (2/tail^2)^2 * var(sum rho_bar)
-    s = rho_live.sum(axis=1)
-    ess_frac_se = (2.0 / tail**2) * s.std(ddof=1) / np.sqrt(C)
-    return {
-        "chains_live": int(C),
-        "rho_bar": rb.round(5).tolist(),
-        "rho_bar_se": se.round(6).tolist(),
-        "ess_frac": float(ess_frac),
-        "ess_frac_se": float(ess_frac_se),
-        "dim0_mean": float(x_live.mean()),
-        "dim0_mean_se": float(x_live.mean(axis=1).std(ddof=1) / np.sqrt(C)),
-        "dim0_var": float(x_live.var()),
-        "dim0_var_se": float(x_live.var(axis=1).std(ddof=1) / np.sqrt(C)),
-        "grads_per_chain_draw": float(sg_per_chain_draw),
-        "ess_per_grad_tight": float(ess_frac / sg_per_chain_draw),
-        "ess_per_grad_tight_se": float(ess_frac_se / sg_per_chain_draw),
-    }
-
-
 def _ratio(sides: dict, a: str, b: str = "native"):
-    r = sides[a]["ess_per_grad_tight"] / sides[b]["ess_per_grad_tight"]
-    rel = np.hypot(
-        sides[a]["ess_per_grad_tight_se"] / sides[a]["ess_per_grad_tight"],
-        sides[b]["ess_per_grad_tight_se"] / sides[b]["ess_per_grad_tight"],
-    )
-    return float(r), float(r * rel)
+    return _tight_ratio(sides[a], sides[b])
 
 
 def analyze() -> None:
@@ -265,7 +241,8 @@ def analyze_sv() -> None:
                             live_g / (live_n * N_draws))
     sides["native"]["grads_per_chain_draw_all"] = all_g / (all_n * N_draws)
 
-    for arm, pat in [("tpu_f32", TPU_SV_OUT), ("tpu_f64", TPU_SV64_OUT)]:
+    for arm, pat in [("tpu_f32", TPU_SV_OUT), ("tpu_f64", TPU_SV64_OUT),
+                     ("tpu_mixed", TPU_SVMIXED_OUT)]:
         paths = sorted(glob.glob(pat.format(seed="*")))
         if not paths:
             continue
@@ -303,6 +280,9 @@ if __name__ == "__main__":
     elif cmd == "tpu-sv-f64":
         for s in seeds:
             run_tpu(s, model="sv", f64=True)
+    elif cmd == "tpu-sv-mixed":
+        for s in seeds:
+            run_tpu(s, model="sv", mixed=True)
     elif cmd == "analyze-sv":
         analyze_sv()
     else:

@@ -168,7 +168,6 @@ def main():
             "PP_RUNAHEAD", 4 if model_name == "funnel" else 8)),
         tier2_every=int(os.environ.get(
             "PP_K", 12 if model_name == "sv" else 6)),
-        speculate=bool(int(os.environ.get("PP_SPEC", 0))),
         fresh_cur=bool(int(os.environ.get("PP_FRESHCUR", 0))),
         pallas_pass=bool(int(os.environ.get("PP_PPASS", 0))),
     )

@@ -31,14 +31,21 @@ im = jax.vmap(lambda g: nutpie_init_mass(g, jnp.asarray(1e-5, dtype)))(grads)
 sk = jax.vmap(lambda c: jax.random.fold_in(base, c + C))(jnp.arange(C))
 s0 = jax.jit(jax.vmap(lambda k, t, m: adapt_step_size(k, logp_grad, t, m, jnp.asarray(1.0, dtype))))(sk, theta0, im)
 ws = jax.vmap(lambda k, t, m, s: init_warmup_state(k, t, m, s, wc, sc))(keys, theta0, im, s0)
+import time
+t0 = time.time()
 ws, _, _, info = run_warmup(logp_grad, ws, wc, sc, batched=True, runahead=8)
+jax.block_until_ready(ws.theta)
+tw = time.time() - t0
 params = jax.vmap(freeze_params)(ws)
 wg = np.asarray(ws.n_grads).astype(np.float64)
 step = np.asarray(params.step_size, np.float64)
 mm = np.asarray(params.min_micro)
 ss = jax.vmap(init_sample_state)(ws)
+t0 = time.time()
 ss, dr, _, _ = run_sampling(logp_grad, ss, params, sc, info=info,
                             device_draws=True, batched=True, runahead=8, tier2_every=12)
+jax.block_until_ready(ss.theta)
+print("tpu-matched-f64 wall: warmup %.2f s, sampling %.2f s" % (tw, time.time() - t0))
 sg = np.asarray(ss.n_grads).astype(np.float64) - wg
 d0 = np.asarray(jax.device_get(dr[:, :, 0]))
 mv = (np.abs(np.diff(d0, axis=0)) > 0).sum(axis=0)

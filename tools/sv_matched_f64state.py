@@ -1,7 +1,18 @@
-import json, os, sys
+"""Matched-inits SV: f64 sampler state, f32 ONLY inside the model logp.
+
+The exact complement of sv_matched_f64model.py — the arm the round-4
+localization predicts recovers native-level live-chain gradient counts
+(BENCHMARKS.md "Root cause of the live-chain tail"): trajectory /
+adaptation arithmetic (theta/rho/joint/dH, Welford, Adam, inv_mass) in
+f64, the T=1000 AR(1) likelihood+gradient evaluated in f32 and cast up.
+If the fat semi-stuck tail vanishes here at a fraction of full-f64's
+wall cost, this is the shippable `model_dtype` configuration.
+"""
+import os, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_enable_x64", True)
 for k, v in [("jax_compilation_cache_dir", "/tmp/jax_tpu_cache"),
              ("jax_persistent_cache_min_entry_size_bytes", -1),
              ("jax_persistent_cache_min_compile_time_secs", 0.0)]:
@@ -14,9 +25,15 @@ from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
 from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
 from walnuts_tpu.models import stochastic_volatility
 
-logp, dim = stochastic_volatility()
+logp_model, dim = stochastic_volatility()
+
+def logp(theta):
+    # f32 island: model value+gradient computed in f32 (AD runs through
+    # the casts), everything outside stays f64
+    return logp_model(theta.astype(jnp.float32)).astype(jnp.float64)
+
 logp_grad = make_logp_grad(logp)
-C, dtype = 1024, jnp.float32
+C, dtype = 1024, jnp.float64
 wc = WarmupConfig(min_iter=200, max_iter=200, block_size=50)
 sc = SamplingConfig(min_iter=200, max_iter=200, block_size=50, max_step_halvings=8)
 base = jax.random.key(2027)
@@ -44,17 +61,18 @@ t0 = time.time()
 ss, dr, _, _ = run_sampling(logp_grad, ss, params, sc, info=info,
                             device_draws=True, batched=True, runahead=8, tier2_every=12)
 jax.block_until_ready(ss.theta)
-print("tpu-matched wall: warmup %.2f s, sampling %.2f s" % (tw, time.time() - t0))
+ts = time.time() - t0
 sg = np.asarray(ss.n_grads).astype(np.float64) - wg
 d0 = np.asarray(jax.device_get(dr[:, :, 0]))
 mv = (np.abs(np.diff(d0, axis=0)) > 0).sum(axis=0)
-np.savez("/tmp/sv_tpu_chainstats_matched.npz", step=step, min_micro=mm, sg=sg, mv=mv, wg=wg)
+np.savez("/tmp/sv_tpu_chainstats_matched_f64state.npz", step=step, min_micro=mm, sg=sg, mv=mv, wg=wg)
 live = mv > 0
 q = lambda x, ps=(0.1,0.25,0.5,0.75,0.9): np.quantile(x, ps).round(4).tolist()
-print("tpu-matched live n:", int(live.sum()))
-print("tpu-matched live step q:", q(step[live]))
-print("tpu-matched live samp_grads q:", q(sg[live]), "mean", round(sg[live].mean(),1))
-print("tpu-matched live min_micro hist:", dict(zip(*[list(map(int,u)) for u in np.unique(mm[live], return_counts=True)])))
-print("tpu-matched live moves q:", q(mv[live].astype(float)))
-print("tpu-matched live grads/draw q:", q(sg[live]/200))
-print("tpu-matched stuck sg uniq:", np.unique(sg[~live])[:5])
+print("tpu-matched-f64state wall: warmup %.2f s, sampling %.2f s" % (tw, ts))
+print("tpu-matched-f64state live n:", int(live.sum()))
+print("tpu-matched-f64state live step q:", q(step[live]))
+print("tpu-matched-f64state live samp_grads q:", q(sg[live]), "mean", round(sg[live].mean(),1))
+print("tpu-matched-f64state live min_micro hist:", dict(zip(*[list(map(int,u)) for u in np.unique(mm[live], return_counts=True)])))
+print("tpu-matched-f64state live moves q:", q(mv[live].astype(float)))
+print("tpu-matched-f64state live grads/draw q:", q(sg[live]/200))
+print("tpu-matched-f64state stuck sg uniq:", np.unique(sg[~live])[:5])

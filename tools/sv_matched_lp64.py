@@ -1,7 +1,19 @@
-import json, os, sys
+"""Matched-inits SV: f32 rows, f64 logp VALUE + f64 joint/|dH| chain.
+
+The round-5 arm: positions/momenta/gradients and ALL adaptation stay
+f32 (full f32 speed on the (C, D) rows), but the model VALUE is
+computed in f64 and NOT cast down, so the scalar logp/joint/|dH| chain
+carries f64 end to end (the batched scheduler follows the logp dtype
+for its log-density fields). Hypothesis from the lp64 arm: the
+semi-stuck tail is driven by the f32 REPRESENTATION of lp/joint at
+large magnitude feeding |dH| — f64 scalars are cheap (C,)-vectors, so
+this should recover most of native's gradient counts at near-f32 wall.
+"""
+import os, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_enable_x64", True)
 for k, v in [("jax_compilation_cache_dir", "/tmp/jax_tpu_cache"),
              ("jax_persistent_cache_min_entry_size_bytes", -1),
              ("jax_persistent_cache_min_compile_time_secs", 0.0)]:
@@ -14,7 +26,13 @@ from walnuts_tpu.ops.math import adapt_step_size, make_logp_grad
 from walnuts_tpu.parallel.runtime import run_sampling, run_warmup
 from walnuts_tpu.models import stochastic_volatility
 
-logp, dim = stochastic_volatility()
+logp_model, dim = stochastic_volatility()
+
+def logp(theta):
+    # f64 VALUE island over f32 rows: the value stays f64 (feeding the
+    # f64 joint/|dH| chain); AD's backward cast returns an f32 gradient
+    return logp_model(theta.astype(jnp.float64))
+
 logp_grad = make_logp_grad(logp)
 C, dtype = 1024, jnp.float32
 wc = WarmupConfig(min_iter=200, max_iter=200, block_size=50)
@@ -44,17 +62,18 @@ t0 = time.time()
 ss, dr, _, _ = run_sampling(logp_grad, ss, params, sc, info=info,
                             device_draws=True, batched=True, runahead=8, tier2_every=12)
 jax.block_until_ready(ss.theta)
-print("tpu-matched wall: warmup %.2f s, sampling %.2f s" % (tw, time.time() - t0))
+ts = time.time() - t0
 sg = np.asarray(ss.n_grads).astype(np.float64) - wg
 d0 = np.asarray(jax.device_get(dr[:, :, 0]))
 mv = (np.abs(np.diff(d0, axis=0)) > 0).sum(axis=0)
-np.savez("/tmp/sv_tpu_chainstats_matched.npz", step=step, min_micro=mm, sg=sg, mv=mv, wg=wg)
+np.savez("/tmp/sv_tpu_chainstats_matched_lp64.npz", step=step, min_micro=mm, sg=sg, mv=mv, wg=wg)
 live = mv > 0
 q = lambda x, ps=(0.1,0.25,0.5,0.75,0.9): np.quantile(x, ps).round(4).tolist()
-print("tpu-matched live n:", int(live.sum()))
-print("tpu-matched live step q:", q(step[live]))
-print("tpu-matched live samp_grads q:", q(sg[live]), "mean", round(sg[live].mean(),1))
-print("tpu-matched live min_micro hist:", dict(zip(*[list(map(int,u)) for u in np.unique(mm[live], return_counts=True)])))
-print("tpu-matched live moves q:", q(mv[live].astype(float)))
-print("tpu-matched live grads/draw q:", q(sg[live]/200))
-print("tpu-matched stuck sg uniq:", np.unique(sg[~live])[:5])
+print("tpu-matched-lp64 wall: warmup %.2f s, sampling %.2f s" % (tw, ts))
+print("tpu-matched-lp64 live n:", int(live.sum()))
+print("tpu-matched-lp64 live step q:", q(step[live]))
+print("tpu-matched-lp64 live samp_grads q:", q(sg[live]), "mean", round(sg[live].mean(),1))
+print("tpu-matched-lp64 live min_micro hist:", dict(zip(*[list(map(int,u)) for u in np.unique(mm[live], return_counts=True)])))
+print("tpu-matched-lp64 live moves q:", q(mv[live].astype(float)))
+print("tpu-matched-lp64 live grads/draw q:", q(sg[live]/200))
+print("tpu-matched-lp64 stuck sg uniq:", np.unique(sg[~live])[:5])

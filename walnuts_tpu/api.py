@@ -74,6 +74,7 @@ def walnuts(
     refresh: int = 0,
     # TPU-native extensions
     dtype=None,
+    model_dtype=None,
     mesh: Optional[Mesh] = None,
     adapt_init_step: bool = True,
     block_size: int = 25,
@@ -90,8 +91,6 @@ def walnuts(
     tier2_every: int = 6,
     min_latched: int = 0,
     defer_splits: bool = True,
-    speculate: bool = False,
-    multiplex: bool = False,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     checkpoint_keep_last_n: Optional[int] = None,
@@ -108,6 +107,11 @@ def walnuts(
 
     - ``dtype``: computation dtype (defaults to float64 under x64, else
       float32 — the TPU-native default).
+    - ``model_dtype``: evaluate the model's value+gradient in this dtype
+      while sampler state/integration/adaptation stay in ``dtype``.
+      ``dtype=jnp.float64, model_dtype=jnp.float32`` is the measured
+      mixed-precision fix for posteriors whose semi-stuck recovery is
+      f32-noise-limited (the SV flagship — docs/BENCHMARKS.md).
     - ``mesh``: a ``jax.sharding.Mesh`` with a ``"chains"`` axis to shard
       chains across devices; ``None`` runs on one device.
     - ``adapt_init_step``: run the coarse step-size search
@@ -150,41 +154,10 @@ def walnuts(
       (no custom ``integrator``, no ``flatten``/``chain_groups``); pass
       ``False`` to force the classic per-draw scheduler. Applies to
       warmup and sampling; mesh-compatible at ``batched_groups=1``.
-    - ``speculate``: speculative leaf continuation for the batched
-      scheduler — a lane whose leaf ends accepted mid-subtree keeps
-      integrating the next leaf instead of idling until the tier-2
-      pass, and a pass resolves up to two leaves per lane (measured
-      pass count -21% on a latch-bound CPU funnel batch at K=12; see
-      ``core.batched.make_batched_sample_block`` and
-      docs/ROADMAP.md item 4). Sampling draws stay
-      bitwise identical; warmup adaptation is schedule-exact but its
-      floats drift ~1 ulp/pass under jit (eager-exact — the same
-      compiler-contraction class as the async warmup itself).
-      EXPERIMENTAL — off by default and measured slower on every TPU
-      A/B arm: the funnel at every K (the tuned-K schedule is
-      trip-bound, so cutting passes doesn't pay for the extra per-trip
-      selects) AND the SV flagship at its best K=12 (20.4/21.0 s vs
-      base 17.9/17.6 s sampling — docs/BENCHMARKS.md "Scheduler-option
-      TPU A/B"). Its bitwise oracle is experimental-tier: default-path
-      changes need not preserve it (CLAUDE.md invariants).
-    - ``multiplex``: two chains per lane for the batched sampler —
-      lanes switch to their sibling chain at draw boundaries, so
-      per-lane work approaches the PAIR-mean cost and the batch-max
-      padding floor (3.9x lane-total heterogeneity on the funnel)
-      shrinks, at half the per-trip row traffic per chain. Requires an
-      even ``num_chains``; applies to BOTH phases (the asynchronous
-      warmup parks the sibling's full adaptation state and swaps it in
-      at switches). Schedule/keys/counters are bitwise the one-chain-per-lane
-      scheduler's; draw floats are eager-exact and drift ~1 ulp under
-      jit (the active chain's step/inv_mass become loop carries, which
-      changes XLA's leapfrog contraction — the ``fresh_cur`` class).
-      EXPERIMENTAL — off by default: the funnel TPU A/B measured the
-      protocol arm clearly slower than one-chain-per-lane and the
-      added-chains arm within noise (docs/BENCHMARKS.md) — per-trip
-      cost is ~linear in lane count at these shapes, so halving lanes
-      halves usable parallelism. Its regime is lane counts past
-      bandwidth saturation. Its bitwise oracle is experimental-tier:
-      default-path changes need not preserve it (CLAUDE.md).
+    - ``speculate`` / ``multiplex`` (round-3 scheduling experiments)
+      were REMOVED in round 5 after losing every TPU A/B arm; the
+      post-mortems live in docs/BENCHMARKS.md "Scheduler-option TPU
+      A/B" and the implementations in git history.
     - ``bf16_ends``: store the transition's merge-stack endpoints in
       bfloat16 and round both operands of every U-turn test to bfloat16
       (a valid sampler either way — see
@@ -232,14 +205,6 @@ def walnuts(
         # batched-native path emits bitwise-identical draws, so this is a
         # pure scheduling default (docs/BENCHMARKS.md round 3)
         batched = integrator is None and not flatten and chain_groups == 1
-    if (speculate or multiplex) and not batched:
-        # never silently drop a requested scheduler feature
-        raise ValueError(
-            "speculate/multiplex require the batched scheduler; they "
-            "were requested together with batched=False (or with "
-            "options that force the classic path: integrator/flatten/"
-            "chain_groups)"
-        )
     if num_chains < 1:
         raise ValueError(
             f"num_chains must be positive; found num_chains = {num_chains}"
@@ -262,6 +227,29 @@ def walnuts(
     chain_keys = jax.vmap(lambda c: jax.random.fold_in(base_key, c))(
         jnp.asarray(chain_ids)
     )
+
+    if model_dtype is not None and jnp.dtype(model_dtype) != jnp.dtype(dtype):
+        # precision islands: the model is evaluated in ``model_dtype``
+        # while positions/momenta/gradients stay in ``dtype``.
+        # - model_dtype NARROWER than dtype (f64 state + f32 model):
+        #   value and gradient are cast UP (exact widening) — trajectory
+        #   and adaptation arithmetic run wide, the expensive model eval
+        #   runs narrow.
+        # - model_dtype WIDER than dtype (f32 rows + f64 logp chain):
+        #   the value is NOT cast down — the batched scheduler carries
+        #   its logp/joint/|dH| fields in the value's dtype, so the
+        #   scalar chain stays wide over narrow rows (the measured SV
+        #   semi-stuck-tail fix, docs/BENCHMARKS.md round 5); the
+        #   gradient comes back in ``dtype`` through AD's backward cast.
+        _mdt, _user_logp = jnp.dtype(model_dtype), logp
+        _vdt = jnp.promote_types(dtype, _mdt)
+        if fused:
+            def logp(theta):  # noqa: F811 — intentional island wrapper
+                lp, grad = _user_logp(theta.astype(_mdt))
+                return lp.astype(_vdt), grad.astype(dtype)
+        else:
+            def logp(theta):  # noqa: F811
+                return _user_logp(theta.astype(_mdt)).astype(_vdt)
 
     if fused:
         from walnuts_tpu.ops.math import sanitize_logp_grad
@@ -462,8 +450,6 @@ def walnuts(
                 batched=batched,
                 batched_groups=batched_groups if batched else 1,
                 tier2_every=tier2_every,
-                speculate=speculate and batched,
-                multiplex=multiplex and batched,
             )
             if ckpt is not None and start_warmup and save_warmup:
                 prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)
@@ -495,8 +481,6 @@ def walnuts(
                 batched=batched, batched_groups=batched_groups,
                 runahead=runahead, tier2_every=tier2_every,
                 min_latched=min_latched, defer_splits=defer_splits,
-                speculate=speculate and batched,
-                multiplex=multiplex and batched,
                 checkpoint=ckpt, start_it=start_sampling,
                 thin=thin, keep_dims=keep_dims,
             )

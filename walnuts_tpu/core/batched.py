@@ -74,9 +74,6 @@ import jax.numpy as jnp
 
 from walnuts_tpu.core.adapt import (
     AdamState,
-    MassEstimatorState,
-    MinMicroState,
-    OnlineMomentsState,
     adam_init,
     adam_step_size,
     adam_update,
@@ -179,45 +176,6 @@ class LaneState(NamedTuple):
     n_ends: Array          # int32, attempt ends since the last tier-2 pass
     leaf_end_at: Array     # int32, 1-based end index of the leaf-completing
                            # attempt (0 = none); its subkey becomes ku
-    # --- speculative-continuation latch (speculate mode; frozen zeros
-    # otherwise). When ``spec`` is set the lane's machine is integrating
-    # the NEXT leaf while the previous (accepted, pending) leaf awaits
-    # tier-2 resolution; the pending leaf's endpoint lives in ms/ms_joint
-    # (it IS the speculative leaf's start), plus these scalars ---
-    spec: Array            # bool: pending leaf latched, machine speculating
-    l1_logp: Array         # pending leaf endpoint's position log density
-    l1_end_at: Array       # int32, pending leaf's split-counter mark
-    l1_n_grads: Array      # int32, n_grads at the pending leaf's end
-                           # (rollback target on a sub-U-turn flush)
-    l1_adam: AdamState     # Adam at the pending leaf's end (rollback)
-    l1_fails: FailStats    # fail counters at the pending leaf's end
-    # --- chain-multiplexing parked slot (multiplex mode; shape-(0,)
-    # dummies otherwise). The lane's OTHER chain sits here between its
-    # draws: position/gradient/logp of its last selected state, its PRNG
-    # key (raw data), and its counters. ``cslot`` is the slot index
-    # (0/1) of the chain currently on the machine ---
-    cslot: Array           # int32 in {0, 1}
-    ot_theta: Array        # (C, D)
-    ot_grad: Array         # (C, D)
-    ot_logp: Array         # (C,)
-    ot_key: Array          # (C, ...) raw key data
-    ot_draws: Array        # (C,) int32
-    ot_n_grads: Array      # (C,) int32
-    ot_fails: FailStats
-    # active chain's transition parameters (written at switches only;
-    # the trip reads these instead of the block args under multiplex
-    # sampling; the asynchronous warmup derives them from the adaptation
-    # instead and carries them in aux)
-    act_step: Array        # (C,)
-    act_im: Array          # (C, D)
-    act_mm: Array          # (C,) int32
-    # parked sibling's adaptation state (multiplex + adapt_full only;
-    # shape-(0,) dummies otherwise) — swapped with the active chain's
-    # estimator/Adam states at switches
-    ot_mass: MassEstimatorState
-    ot_mm_est: MinMicroState
-    ot_adam: AdamState
-    ot_iter: Array         # (C,) int32
     # --- step-size adaptation (warmup only; a frozen dummy when
     # sampling — a handful of (C,) scalars, negligible carry cost) ---
     adam: AdamState
@@ -256,8 +214,6 @@ def make_batched_sample_block(
     pallas_replay: bool = False,
     fresh_cur: bool = False,
     adapt_full: bool = False,
-    speculate: bool = False,
-    multiplex: bool = False,
     bounded_sweeps: Optional[bool] = None,
     pallas_pass: bool = False,
     pass_tile: Optional[int] = None,
@@ -345,59 +301,21 @@ def make_batched_sample_block(
     mm_est, iteration, inv_mass, step, min_micro)`` carries each lane's
     estimator states and CURRENT-draw transition parameters.
 
-    ``speculate`` removes the latched-lane idle wait: a lane whose leaf
-    ends ACCEPTED with more leaves left in its subtree does not latch and
-    idle until the next tier-2 pass — it continues integrating the next
-    leaf immediately (the next leaf's start is this leaf's forward
-    endpoint, same direction, fresh halving machine; no RNG is consumed
-    until tier 2 because splits are deferred counters). The pending
-    leaf's latch costs NO extra row state: the speculative leaf's start
-    IS the pending leaf's endpoint, so ``ms``/``ms_joint`` double as the
-    latch (plus a handful of per-lane scalars for the endpoint logp, the
-    split-counter mark, and rollback copies of Adam/fail/grad counters).
-    The only mispredict is a sub-U-turn against the merge stack (a
-    pending ACCEPTED leaf can neither fail nor complete the subtree), in
-    which case tier 2 rolls the lane back exactly: the speculative
-    attempts' key splits are discarded (the replay truncates at the
-    pending leaf's mark), the counters restore, and the normal restart
-    path overwrites the machine — the per-lane chain, key stream, and
-    counters stay BITWISE equal to the classic path
-    (tests/test_batched.py). Requires ``defer_splits``; incompatible
-    with ``pallas_replay`` (the fused replay kernel has no dual-capture
-    slot). Off by default pending the TPU A/B.
-
-    ``multiplex`` runs TWO chains per lane (the block inputs carry
-    ``2*C`` chains; chain ``c`` maps to lane ``c // 2``, slot ``c % 2``),
-    switching at draw boundaries: when the active chain completes a
-    draw, the lane continues with whichever of its two chains has fewer
-    banked draws. This attacks the measured lane-TOTAL heterogeneity
-    floor (3.9x on the funnel — the binding wall of any fixed
-    chain-to-lane assignment, docs/BENCHMARKS.md): per-lane work becomes
-    the MEAN of two chains' costs, so the batch-max padding shrinks
-    toward the pair-mean max (~1/sqrt(2) for random pairing; much more
-    under the runtime's antithetic cost pairing). Scheduling-only: each
-    chain's RNG stream, draw values, and counters are BITWISE those of
-    the same chains run one-per-lane (the switch defers a parked chain's
-    trajectory-start split until its activation — same per-chain split
-    order), at half the lanes per trip. The parked chain costs 2 (C, D)
-    rows of carry (position + cached gradient) written only at switches.
+    Two round-3 scheduling experiments — speculative leaf continuation
+    (``speculate``) and chain multiplexing (``multiplex``) — were
+    REMOVED in round 5 after losing every TPU A/B arm (docs/BENCHMARKS.md
+    "Scheduler-option TPU A/B" keeps the post-mortems; the round-4
+    ruling demoted their bitwise oracles to experimental-tier and the
+    round-4 verdict sanctioned deletion). Their state rode the default
+    carry (pending-leaf latches, the parked-chain slot) and taxed every
+    scheduler change; git history has the full implementations.
     """
-    if speculate and not defer_splits:
-        raise ValueError("speculate=True requires defer_splits=True "
-                         "(the rollback truncates the deferred-split "
-                         "replay; eager per-trip splits cannot be "
-                         "un-consumed)")
-    if speculate and pallas_replay:
-        raise ValueError("speculate=True is incompatible with "
-                         "pallas_replay=True (the fused replay kernel "
-                         "captures one subkey per lane; speculation "
-                         "needs the pending leaf's too)")
-    if pallas_pass and (speculate or multiplex or adapt_full or fresh_cur
+    if pallas_pass and (adapt_full or fresh_cur
                         or bf16_ends or adapt_step_size or pallas_replay
                         or not defer_splits):
         raise ValueError(
             "pallas_pass=True covers the default sampling configuration "
-            "only (defer_splits, no speculate/multiplex/adapt_full/"
+            "only (defer_splits, no adapt_full/"
             "fresh_cur/bf16_ends/adapt_step_size/pallas_replay) — other "
             "configurations use the XLA tier-2 pass"
         )
@@ -452,16 +370,11 @@ def make_batched_sample_block(
         return ks[:, 0], rho0, joint0, forward0, dt0
 
     def _lane_state(key, theta, logp0, grad0, step, inv_mass, min_micro,
-                    adam, n_grads, fails, parked=None):
+                    adam, n_grads, fails):
         """Batched LaneState from a start point with KNOWN logp/grad."""
         dtype = theta.dtype
         e_dtype = jnp.bfloat16 if bf16_ends else dtype
         C, D = theta.shape
-        if parked is None:
-            parked = _dummy_parked(C)
-        (cslot, ot_theta, ot_grad, ot_logp, ot_key, ot_draws,
-         ot_n_grads, ot_fails, act_step, act_im, act_mm,
-         ot_mass, ot_mm_est, ot_adam, ot_iter) = parked
         knew, rho0, joint0, forward0, dt0 = _fresh_trajectory(
             key, theta, logp0, grad0, step, inv_mass
         )
@@ -484,7 +397,11 @@ def make_batched_sample_block(
             run_sel=theta,
             run_sel_logp=logp0,
             run_sel_grad=grad0,
-            run_logw=jnp.full((C,), -jnp.inf, dtype),
+            # the log-density chain follows the MODEL's value dtype
+            # (logp0), which may be wider than the row dtype (precision
+            # islands: an f64 logp/joint/|dH| chain over f32 rows —
+            # docs/BENCHMARKS.md round-5 SV precision work)
+            run_logw=jnp.full((C,), -jnp.inf, logp0.dtype),
             ms_th=theta, ms_rho=rho0, ms_grad=grad0,
             ms_joint=joint0,
             halvings=jnp.zeros((C,), jnp.int32),
@@ -507,18 +424,6 @@ def make_batched_sample_block(
             ku=jax.random.key_data(knew),
             n_ends=jnp.zeros((C,), jnp.int32),
             leaf_end_at=jnp.zeros((C,), jnp.int32),
-            spec=jnp.zeros((C,), bool),
-            l1_logp=logp0,
-            l1_end_at=jnp.zeros((C,), jnp.int32),
-            l1_n_grads=n_grads,
-            l1_adam=adam,
-            l1_fails=fails,
-            cslot=cslot, ot_theta=ot_theta, ot_grad=ot_grad,
-            ot_logp=ot_logp, ot_key=ot_key, ot_draws=ot_draws,
-            ot_n_grads=ot_n_grads, ot_fails=ot_fails,
-            act_step=act_step, act_im=act_im, act_mm=act_mm,
-            ot_mass=ot_mass, ot_mm_est=ot_mm_est, ot_adam=ot_adam,
-            ot_iter=ot_iter,
             adam=adam,
             n_grads=n_grads,
             fails=fails,
@@ -528,50 +433,13 @@ def make_batched_sample_block(
     def start_block(key, theta, n_grads, fails, step, inv_mass, min_micro,
                     adam=None):
         dtype = theta.dtype
-        if not multiplex:
-            if adam is None:  # sampling: frozen dummy (classic sample_step)
-                adam = jax.vmap(lambda s: adam_init(s, dtype=dtype))(step)
-            # the block-entry gradient is fresh (and counted), exactly
-            # like the classic transition entry (walnuts.hpp:531-532)
-            logp0, grad0 = vlogp_grad(theta)
-            return _lane_state(key, theta, logp0, grad0, step, inv_mass,
-                               min_micro, adam, n_grads + 1, fails)
-        # multiplex: block inputs carry 2*C chains; chain c -> lane c//2,
-        # slot c%2. The entry gradient runs as ONE 2C batch (bitwise the
-        # one-chain-per-lane program's entry eval); slot 0 mounts the
-        # machine, slot 1 parks.
-        CT, D = theta.shape
-        if CT % 2:
-            raise ValueError("multiplex=True needs an even chain count")
-        C = CT // 2
+        if adam is None:  # sampling: frozen dummy (classic sample_step)
+            adam = jax.vmap(lambda s: adam_init(s, dtype=dtype))(step)
+        # the block-entry gradient is fresh (and counted), exactly
+        # like the classic transition entry (walnuts.hpp:531-532)
         logp0, grad0 = vlogp_grad(theta)
-
-        def sl(x):
-            return x.reshape((C, 2) + x.shape[1:])
-
-        th2, lp2, gr2 = sl(theta), sl(logp0), sl(grad0)
-        st2, im2 = sl(step), sl(inv_mass)
-        mm2 = sl(jnp.broadcast_to(jnp.asarray(min_micro, jnp.int32), (CT,)))
-        ng2 = sl(n_grads + 1)
-        fl2 = jax.tree.map(sl, fails)
-        kd2 = sl(jax.random.key_data(key))
-        key0 = jax.random.wrap_key_data(
-            kd2[:, 0], impl=jax.random.key_impl(key)
-        )
-        adam0 = jax.vmap(lambda s: adam_init(s, dtype=dtype))(st2[:, 0])
-        dm = _dummy_parked(C)
-        parked = (
-            jnp.zeros((C,), jnp.int32),          # cslot
-            th2[:, 1], gr2[:, 1], lp2[:, 1], kd2[:, 1],
-            jnp.zeros((C,), jnp.int32),          # ot_draws
-            ng2[:, 1], jax.tree.map(lambda x: x[:, 1], fl2),
-            st2[:, 0], im2[:, 0], mm2[:, 0],     # act_* (slot 0)
-            dm[11], dm[12], dm[13], dm[14],      # adapt dummies (sampling)
-        )
-        return _lane_state(key0, th2[:, 0], lp2[:, 0], gr2[:, 0],
-                           st2[:, 0], im2[:, 0], mm2[:, 0], adam0,
-                           ng2[:, 0],
-                           jax.tree.map(lambda x: x[:, 0], fl2), parked)
+        return _lane_state(key, theta, logp0, grad0, step, inv_mass,
+                           min_micro, adam, n_grads + 1, fails)
 
     # warmup entry with the start point's logp/grad already known
     start_block_cached = _lane_state
@@ -582,7 +450,6 @@ def make_batched_sample_block(
     # ------------------------------------------------------------------
     def inner_trip(s: LaneState, active, step, inv_mass, min_micro,
                    max_error):
-        dtype = s.ms_joint.dtype
         run = active & ~s.leaf_done
 
         if fresh_cur:
@@ -633,8 +500,10 @@ def make_batched_sample_block(
         if adapt_step_size:
             # Adam observes exp(-|dH|) of the COARSEST attempt of every
             # leaf (walnuts.hpp:335-338) — a masked per-lane scalar
-            # update, exactly the classic body's rule
-            accept = jnp.exp(-f_err)
+            # update, exactly the classic body's rule. Rounded to the
+            # Adam state's dtype (a no-op unless the logp chain is wider
+            # than the rows — the classic program observes in row dtype)
+            accept = jnp.exp(-f_err).astype(s.dt.dtype)
             accept = jnp.where(jnp.isnan(accept), jnp.zeros_like(accept),
                                accept)
             observe = f_done & (s.halvings == 0)
@@ -670,17 +539,7 @@ def make_batched_sample_block(
         fwd_logp_pos = jnp.where(set_fwd, lp_cur, s.fwd_logp_pos)
         fwd_joint = jnp.where(set_fwd, joint_n, s.fwd_joint)
 
-        leaf_end = leaf_ok_now | leaf_fail_now
-        if speculate:
-            # an ACCEPTED leaf with more leaves left in its subtree does
-            # not latch-and-idle: the machine continues into the next
-            # leaf immediately (entry writes below); only one pending
-            # leaf at a time (~s.spec), the rest latch normally
-            enter_spec = (leaf_end & leaf_ok_now & ~s.spec
-                          & (s.leaf_idx + 2 <= s.n_leaves))
-            latch = leaf_end & ~enter_spec
-        else:
-            latch = leaf_end
+        latch = leaf_ok_now | leaf_fail_now
         if defer_splits:
             ku = s.ku
             leaf_end_at = jnp.where(latch, n_ends, s.leaf_end_at)
@@ -721,57 +580,6 @@ def make_batched_sample_block(
         cur_grad = jnp.where(tr1, fwd_grad,
                              jnp.where(rs1, s.ms_grad, cur_grad))
 
-        if speculate:
-            # speculative-leaf entry: the pending (accepted) leaf's
-            # endpoint becomes the next leaf's start — ms/ms_joint double
-            # as the pending-leaf latch — and the halving machine resets
-            # for the fresh leaf (cursor := endpoint, written into the
-            # carry exactly like the tier-2 continue path writes cur, so
-            # the leapfrog input stays a materialised buffer and draws
-            # stay bitwise); counters latch for the flush rollback.
-            es1 = enter_spec[:, None]
-            cur_th = jnp.where(es1, fwd_th, cur_th)
-            cur_rho = jnp.where(es1, fwd_rho, cur_rho)
-            cur_grad = jnp.where(es1, fwd_grad, cur_grad)
-            ms_th = jnp.where(es1, fwd_th, s.ms_th)
-            ms_rho = jnp.where(es1, fwd_rho, s.ms_rho)
-            ms_grad = jnp.where(es1, fwd_grad, s.ms_grad)
-            ms_joint = jnp.where(enter_spec, fwd_joint, s.ms_joint)
-            l1_logp = jnp.where(enter_spec, fwd_logp_pos, s.l1_logp)
-            l1_end_at = jnp.where(enter_spec, n_ends, s.l1_end_at)
-            l1_n_grads = jnp.where(enter_spec, n_grads, s.l1_n_grads)
-            l1_adam = jax.tree.map(
-                lambda a, b: jnp.where(enter_spec, a, b), adam, s.l1_adam
-            )
-            l1_fails = jax.tree.map(
-                lambda a, b: jnp.where(enter_spec, a, b), fails, s.l1_fails
-            )
-            spec = s.spec | enter_spec
-            halvings = jnp.where(enter_spec, jnp.int32(0), halvings)
-            steps_total = jnp.where(enter_spec,
-                                    jnp.asarray(min_micro, jnp.int32),
-                                    steps_total)
-            steps_done = jnp.where(enter_spec, jnp.int32(0), steps_done)
-            phase = jnp.where(enter_spec, jnp.int32(_PH_FWD), phase)
-            dt = jnp.where(enter_spec, jnp.where(s.forward, step, -step),
-                           dt)
-            fresh = s.fresh & ~run if fresh_cur else s.fresh
-            return s._replace(
-                key=key, cur_th=cur_th, cur_rho=cur_rho,
-                cur_grad=cur_grad, lp_cur=lp_cur,
-                fwd_th=fwd_th, fwd_rho=fwd_rho, fwd_grad=fwd_grad,
-                fwd_logp_pos=fwd_logp_pos, fwd_joint=fwd_joint,
-                halvings=halvings, dt=dt, steps_done=steps_done,
-                steps_total=steps_total, phase=phase,
-                leaf_done=leaf_done, leaf_ok=leaf_ok, ku=ku,
-                n_ends=n_ends, leaf_end_at=leaf_end_at, adam=adam,
-                n_grads=n_grads, fails=fails, fresh=fresh,
-                ms_th=ms_th, ms_rho=ms_rho, ms_grad=ms_grad,
-                ms_joint=ms_joint, spec=spec, l1_logp=l1_logp,
-                l1_end_at=l1_end_at, l1_n_grads=l1_n_grads,
-                l1_adam=l1_adam, l1_fails=l1_fails,
-            )
-
         return s._replace(
             key=key, cur_th=cur_th, cur_rho=cur_rho, cur_grad=cur_grad,
             lp_cur=lp_cur,
@@ -795,30 +603,17 @@ def make_batched_sample_block(
     # is the measured cost ceiling of the whole scheduler.
     # ------------------------------------------------------------------
     def _resolve_pending(s: LaneState, active, step, inv_mass, min_micro,
-                         block_draws, aux=None, params2=None):
-        dtype = s.ms_joint.dtype
-        # --- pending-leaf resolution values. With speculate, the leaf
-        # awaiting resolution may be latched in ms/ms_joint + l1_*
-        # scalars (its endpoint doubles as the running speculative
-        # leaf's start) rather than in the machine latches. ---
-        if speculate:
-            spec = s.spec
-            pend = active & (s.leaf_done | spec)
-            # a speculated-over pending leaf is accepted by construction
-            ok1 = spec | s.leaf_ok
-            sp1 = spec[:, None]
-            fwd_th = jnp.where(sp1, s.ms_th, s.fwd_th)
-            fwd_rho = jnp.where(sp1, s.ms_rho, s.fwd_rho)
-            fwd_grad = jnp.where(sp1, s.ms_grad, s.fwd_grad)
-            fwd_joint = jnp.where(spec, s.ms_joint, s.fwd_joint)
-            fwd_logp_pos = jnp.where(spec, s.l1_logp, s.fwd_logp_pos)
-            end1 = jnp.where(spec, s.l1_end_at, s.leaf_end_at)
-        else:
-            pend = active & s.leaf_done
-            ok1 = s.leaf_ok
-            fwd_th, fwd_rho, fwd_grad = s.fwd_th, s.fwd_rho, s.fwd_grad
-            fwd_joint, fwd_logp_pos = s.fwd_joint, s.fwd_logp_pos
-            end1 = s.leaf_end_at
+                         block_draws, aux=None):
+        # geometry (U-turn tests, uniforms) runs in the ROW dtype; only
+        # the log-weight/log-density writes use the (possibly wider)
+        # logp-chain dtype
+        dtype = s.run_sel.dtype
+        jdtype = s.ms_joint.dtype
+        pend = active & s.leaf_done
+        ok1 = s.leaf_ok
+        fwd_th, fwd_rho, fwd_grad = s.fwd_th, s.fwd_rho, s.fwd_grad
+        fwd_joint, fwd_logp_pos = s.fwd_joint, s.fwd_logp_pos
+        end1 = s.leaf_end_at
         leaf_ok = pend & ok1
         leaf_fail = pend & ~ok1
 
@@ -883,23 +678,12 @@ def make_batched_sample_block(
         sub_uturn = leaf_ok & ~ok
         leaf_ok = leaf_ok & ok
 
-        # --- deferred-key-split replay. Runs AFTER the cascade (pure
-        # geometry, no RNG) because a speculation flush — a sub-U-turn
-        # under a pending leaf — must discard the speculative attempts'
-        # splits by truncating the replay at the pending leaf's mark:
-        # the classic chain restarts there and consumes its restart
-        # split from exactly that key state. ---
-        if speculate:
-            flush = spec & sub_uturn
-            keep2 = spec & ~flush
-            n_ends_eff = jnp.where(flush, end1, s.n_ends)
-        else:
-            n_ends_eff = s.n_ends
+        # --- deferred-key-split replay (after the cascade: pure
+        # geometry, no RNG) ---
+        n_ends_eff = s.n_ends
         if defer_splits and pallas_replay:
             # one Pallas launch for the whole replay chain (ops/prng.py);
-            # bit-identical to the while-loop below (speculate is
-            # factory-rejected with pallas_replay, so n_ends_eff/end1
-            # are exactly s.n_ends/s.leaf_end_at here)
+            # bit-identical to the while-loop below
             from walnuts_tpu.ops.prng import replay_split_chain
 
             impl0 = jax.random.key_impl(s.key)
@@ -923,57 +707,24 @@ def make_batched_sample_block(
             # instead of one EVERY trip in the integration loop.
             n_replay = jnp.max(n_ends_eff)
 
-            if speculate:
-                # dual capture: the resolving leaf's subkey (mark end1)
-                # feeds THIS pass's uniforms; a promoted pending leaf
-                # that already ended (mark s.leaf_end_at) has its subkey
-                # captured too — its splits are consumed by this replay,
-                # so the next pass could not re-derive it.
-                def replay_body(c):
-                    j, key, ku, ku2 = c
-                    ks = vsplit(key)
-                    adv = j < n_ends_eff
-                    key = _key_where(adv, ks[:, 0], key)
-                    kd = jax.random.key_data(ks[:, 1])
-                    hit = adv & (end1 == j + 1)
-                    extra = ku.ndim - hit.ndim
-                    ku = jnp.where(
-                        hit.reshape(hit.shape + (1,) * extra), kd, ku
-                    )
-                    hit2 = adv & keep2 & (s.leaf_end_at == j + 1)
-                    ku2 = jnp.where(
-                        hit2.reshape(hit2.shape + (1,) * extra), kd, ku2
-                    )
-                    return j + 1, key, ku, ku2
+            def replay_body(c):
+                j, key, ku = c
+                ks = vsplit(key)
+                adv = j < n_ends_eff
+                key = _key_where(adv, ks[:, 0], key)
+                hit = adv & (end1 == j + 1)
+                extra = ku.ndim - hit.ndim
+                ku = jnp.where(
+                    hit.reshape(hit.shape + (1,) * extra),
+                    jax.random.key_data(ks[:, 1]), ku,
+                )
+                return j + 1, key, ku
 
-                _, key_r, ku_r, ku2_r = jax.lax.while_loop(
-                    lambda c: c[0] < n_replay, replay_body,
-                    (jnp.int32(0), s.key, s.ku, s.ku),
-                )
-                extra = ku_r.ndim - keep2.ndim
-                ku_state = jnp.where(
-                    keep2.reshape(keep2.shape + (1,) * extra),
-                    ku2_r, ku_r,
-                )
-            else:
-                def replay_body(c):
-                    j, key, ku = c
-                    ks = vsplit(key)
-                    adv = j < n_ends_eff
-                    key = _key_where(adv, ks[:, 0], key)
-                    hit = adv & (end1 == j + 1)
-                    extra = ku.ndim - hit.ndim
-                    ku = jnp.where(
-                        hit.reshape(hit.shape + (1,) * extra),
-                        jax.random.key_data(ks[:, 1]), ku,
-                    )
-                    return j + 1, key, ku
-
-                _, key_r, ku_r = jax.lax.while_loop(
-                    lambda c: c[0] < n_replay, replay_body,
-                    (jnp.int32(0), s.key, s.ku),
-                )
-                ku_state = ku_r
+            _, key_r, ku_r = jax.lax.while_loop(
+                lambda c: c[0] < n_replay, replay_body,
+                (jnp.int32(0), s.key, s.ku),
+            )
+            ku_state = ku_r
             s = s._replace(
                 key=key_r, ku=ku_state,
                 n_ends=jnp.zeros_like(s.n_ends),
@@ -1067,21 +818,7 @@ def make_batched_sample_block(
         sel_grad = jnp.where(take[:, None], run_sel_grad_v, s.acc_grad_sel)
 
         new_draws_done = s.draws_done + complete.astype(jnp.int32)
-
-        if speculate:
-            # sub-U-turn flush: restore the counters latched at the
-            # pending leaf's end — the speculative attempts' Adam
-            # observations, fail counts, and gradient counts never
-            # happened on the classic chain
-            adam_eff = jax.tree.map(
-                lambda a, b: jnp.where(flush, b, a), s.adam, s.l1_adam
-            )
-            fails_eff = jax.tree.map(
-                lambda a, b: jnp.where(flush, b, a), s.fails, s.l1_fails
-            )
-            n_grads_eff = jnp.where(flush, s.l1_n_grads, s.n_grads)
-        else:
-            adam_eff, fails_eff, n_grads_eff = s.adam, s.fails, s.n_grads
+        adam_eff, fails_eff, n_grads_eff = s.adam, s.fails, s.n_grads
 
         # Restart immediately on completion even when the lane is about
         # to park at the run-ahead cap (the ``active`` mask keeps the
@@ -1089,85 +826,11 @@ def make_batched_sample_block(
         # EXCEPT at the block end: the lane's key must equal the classic
         # end-of-draw key so the next block (which re-inits exactly like
         # the classic path) continues the same per-chain stream.
-        if multiplex:
-            # chain switch at the draw boundary: continue with whichever
-            # of the lane's two chains has fewer banked draws (ties stay
-            # on the completing chain). A switch target always has
-            # strictly fewer draws than block_draws, so switch implies
-            # restart — a lane that completes its final draw without a
-            # runnable sibling keeps the completing chain live (its key
-            # stays the classic end-of-draw key for reconstruction).
-            switch = complete & (s.ot_draws < new_draws_done)
-            sw1 = switch[:, None]
-            # the completing chain's park record; counters fold in this
-            # pass's depth-exhaustion increment
-            fails_park = fails_eff._replace(
-                n_depth_exhausted=fails_eff.n_depth_exhausted
-                + exhausted.astype(jnp.int32)
-            )
-            kd = jax.random.key_data(s.key)
-            exk = kd.ndim - switch.ndim
-            swk = switch.reshape(switch.shape + (1,) * exk)
-            tgt_theta = jnp.where(sw1, s.ot_theta, sel_theta)
-            tgt_logp = jnp.where(switch, s.ot_logp, sel_logp)
-            tgt_grad = jnp.where(sw1, s.ot_grad, sel_grad)
-            key_r0 = _key_where(
-                switch,
-                jax.random.wrap_key_data(
-                    s.ot_key, impl=jax.random.key_impl(s.key)
-                ),
-                s.key,
-            )
-            draws_t = jnp.where(switch, s.ot_draws, new_draws_done)
-            n_grads_t = jnp.where(switch, s.ot_n_grads, n_grads_eff)
-            fails_t = jax.tree.map(
-                lambda a, b: jnp.where(switch, a, b),
-                s.ot_fails, fails_park,
-            )
-            cslot_t = jnp.where(switch, 1 - s.cslot, s.cslot)
-            ot_theta_t = jnp.where(sw1, sel_theta, s.ot_theta)
-            ot_grad_t = jnp.where(sw1, sel_grad, s.ot_grad)
-            ot_logp_t = jnp.where(switch, sel_logp, s.ot_logp)
-            ot_key_t = jnp.where(swk, kd, s.ot_key)
-            ot_draws_t = jnp.where(switch, new_draws_done, s.ot_draws)
-            ot_n_grads_t = jnp.where(switch, n_grads_eff, s.ot_n_grads)
-            ot_fails_t = jax.tree.map(
-                lambda a, b: jnp.where(switch, a, b),
-                fails_park, s.ot_fails,
-            )
-            if not adapt_full:
-                # the target chain's transition parameters (the other
-                # slot's rows of the (C, 2)-shaped block args; the
-                # asynchronous warmup derives them from the target's
-                # adaptation state below instead)
-                step2, im2, mm2 = params2
-                other = (1 - s.cslot)[:, None]
-                act_step_t = jnp.where(
-                    switch,
-                    jnp.take_along_axis(step2, other, axis=1)[:, 0],
-                    s.act_step,
-                )
-                act_im_t = jnp.where(
-                    sw1,
-                    jnp.take_along_axis(im2, other[:, :, None],
-                                        axis=1)[:, 0],
-                    s.act_im,
-                )
-                act_mm_t = jnp.where(
-                    switch, jnp.take_along_axis(mm2, other, axis=1)[:, 0],
-                    s.act_mm,
-                )
-            else:
-                act_step_t, act_im_t, act_mm_t = (
-                    s.act_step, s.act_im, s.act_mm
-                )
-            restart = complete & (draws_t < block_draws)
-        else:
-            tgt_theta, tgt_logp, tgt_grad = sel_theta, sel_logp, sel_grad
-            key_r0 = s.key
-            draws_t = new_draws_done
-            n_grads_t = n_grads_eff
-            restart = complete & (new_draws_done < block_draws)
+        tgt_theta, tgt_logp, tgt_grad = sel_theta, sel_logp, sel_grad
+        key_r0 = s.key
+        draws_t = new_draws_done
+        n_grads_t = n_grads_eff
+        restart = complete & (new_draws_done < block_draws)
         r1 = restart[:, None]
 
         if adapt_full:
@@ -1196,26 +859,6 @@ def make_batched_sample_block(
                 mm_obs, mm_est,
             )
             iteration = iteration + complete.astype(jnp.int32)
-            if multiplex:
-                # a switch hands the machine to the sibling chain: its
-                # adaptation state (estimators, Adam, iteration) swaps in
-                # and the completing chain's (post-observe) parks — the
-                # *_next derivations below then read the TARGET's states,
-                # exactly as that chain's own restart would
-                def _swap(a, b):
-                    return (
-                        jax.tree.map(
-                            lambda x, y: _where_lane(switch, y, x), a, b
-                        ),
-                        jax.tree.map(
-                            lambda x, y: _where_lane(switch, x, y), a, b
-                        ),
-                    )
-
-                mass, ot_mass_t = _swap(mass, s.ot_mass)
-                mm_est, ot_mm_est_t = _swap(mm_est, s.ot_mm_est)
-                adam_eff, ot_adam_t = _swap(adam_eff, s.ot_adam)
-                iteration, ot_iter_t = _swap(iteration, s.ot_iter)
             step_next = jnp.where(restart, adam_step_size(adam_eff), step)
             inv_mass_next = jnp.where(
                 restart[:, None],
@@ -1226,12 +869,6 @@ def make_batched_sample_block(
             )
             aux = (mass, mm_est, iteration,
                    inv_mass_next, step_next, min_micro_next)
-        elif multiplex:
-            # the fresh trajectory belongs to the (possibly switched-to)
-            # target chain, with ITS parameters
-            step_next, inv_mass_next, min_micro_next = (
-                act_step_t, act_im_t, act_mm_t
-            )
         else:
             step_next, inv_mass_next, min_micro_next = (
                 step, inv_mass, min_micro
@@ -1241,14 +878,7 @@ def make_batched_sample_block(
             key_r0, tgt_theta, tgt_logp, tgt_grad, step_next, inv_mass_next
         )
 
-        cont = pend & ~complete
-        if speculate:
-            # a promoted speculating lane keeps its machine (it is
-            # mid-flight in the next leaf); only idle-latched lanes get
-            # the continue-leaf machine reset
-            cont_m = cont & ~spec
-        else:
-            cont_m = cont
+        cont_m = pend & ~complete
 
         # --- single-pass merged field writes ---
         new_dir = jnp.where(restart, forward0,
@@ -1310,37 +940,12 @@ def make_batched_sample_block(
                                                  s.ms_joint)))
         rc = restart | cont_m
         rc1m = rc[:, None]
-        if speculate:
-            # resolved spec lanes either promoted (pending leaf becomes
-            # history; machine latches now describe the still-running —
-            # or already-latched — next leaf) or flushed (restart wrote
-            # the machine wholesale); either way the spec bit clears
-            spec_new = jnp.where(pend, False, s.spec)
-            # promoted spec lanes KEEP their machine latches (they
-            # describe the next leaf); everyone else resolved clears
-            clear = pend & (~spec | flush)
-        else:
-            spec_new = s.spec
-            clear = pend
+        clear = pend
         fresh_new = (s.fresh | rc) if fresh_cur else s.fresh
-        if multiplex:
-            mux = dict(
-                cslot=cslot_t, ot_theta=ot_theta_t, ot_grad=ot_grad_t,
-                ot_logp=ot_logp_t, ot_key=ot_key_t, ot_draws=ot_draws_t,
-                ot_n_grads=ot_n_grads_t, ot_fails=ot_fails_t,
-                act_step=act_step_t, act_im=act_im_t, act_mm=act_mm_t,
-                fails=fails_t,
-            )
-            if adapt_full:
-                mux.update(
-                    ot_mass=ot_mass_t, ot_mm_est=ot_mm_est_t,
-                    ot_adam=ot_adam_t, ot_iter=ot_iter_t,
-                )
-        else:
-            mux = dict(fails=fails_eff._replace(
-                n_depth_exhausted=fails_eff.n_depth_exhausted
-                + exhausted.astype(jnp.int32)
-            ))
+        fails_new = fails_eff._replace(
+            n_depth_exhausted=fails_eff.n_depth_exhausted
+            + exhausted.astype(jnp.int32)
+        )
 
         return s._replace(
             key=_key_where(restart, knew, s.key),
@@ -1368,7 +973,7 @@ def make_batched_sample_block(
             run_sel_logp=jnp.where(restart, tgt_logp, run_sel_logp_v),
             run_sel_grad=jnp.where(r1, tgt_grad, run_sel_grad_v),
             run_logw=jnp.where(restart | deeper,
-                               jnp.asarray(-jnp.inf, dtype),
+                               jnp.asarray(-jnp.inf, jdtype),
                                jnp.where(leaf_ok, run_logw_new,
                                          s.run_logw)),
             ms_th=ms_th, ms_rho=ms_rho, ms_grad=ms_grad,
@@ -1397,115 +1002,15 @@ def make_batched_sample_block(
             lp_cur=jnp.where(restart, tgt_logp, s.lp_cur),
             leaf_done=jnp.where(clear, False, s.leaf_done),
             leaf_ok=jnp.where(clear, False, s.leaf_ok),
-            spec=spec_new,
             adam=adam_eff,
             n_grads=n_grads_t,
-            **mux,
+            fails=fails_new,
             draws_done=draws_t,
         ), complete, sel_theta, sel_logp, out_depth, sel_grad, (
-            new_draws_done - 1), s.cslot, aux
+            new_draws_done - 1), aux
 
-    def leaf_apply(s: LaneState, active, step, inv_mass, min_micro,
-                   block_draws, aux=None, params2=None):
-        """One tier-2 pass. With ``speculate``, the pass resolves up to
-        TWO leaves per lane: the pending (speculated-over) leaf first,
-        then — if that promoted and the speculative leaf itself already
-        latched — the speculative leaf as well, halving the pass count
-        on leaf-bound lanes (the pass count otherwise floors at the
-        max-lane leaf count because a pass retires one leaf per lane).
-        The second resolution reuses the machinery verbatim: its subkey
-        was dual-captured into ``ku`` by the first resolution's replay
-        (whose splits this window consumed), its replay is a self-bounded
-        no-op (``n_ends`` is zero), and every mask is empty for lanes
-        with nothing left pending. Per lane at most one of the two
-        resolutions can complete a draw (a lane resolved-and-restarted
-        in the first cannot have latched again without integration
-        trips), so the merged emission outputs stay per-lane unique."""
-        s, c1, th1, lp1, dep1, g1, bi1, bs1, aux = _resolve_pending(
-            s, active, step, inv_mass, min_micro, block_draws, aux,
-            params2=params2,
-        )
-        if not speculate:
-            return s, c1, th1, lp1, dep1, g1, bi1, bs1, aux
-
-        # Second resolution as a self-bounding while: after the first,
-        # only lanes that promoted a pending leaf whose speculative leaf
-        # had ALSO already latched still show leaf_done (the first
-        # resolution clears everyone else, and the second clears those,
-        # so the loop runs 0 or 1 times). Passes where no lane carries a
-        # second resolvable leaf — the common case in trip-bound
-        # regimes — pay only the any() reduction, not a second pass
-        # body (an unconditional second body measured ~2x pass cost).
-        def second_cond(c):
-            return jnp.any(active & c[0].leaf_done)
-
-        def second_body(c):
-            s2, c1_, th1_, lp1_, dep1_, g1_, bi1_, bs1_, aux2 = c
-            if aux2 is not None:
-                # adapt_full: the resolution returns the 6-tuple aux
-                # (estimator states + per-lane NEXT-draw transition
-                # parameters); re-thread exactly as the trip loop would
-                mass, mm_est, iteration, im2, st2, mm2 = aux2
-                aux3 = (mass, mm_est, iteration)
-            elif multiplex:
-                im2, st2, mm2 = s2.act_im, s2.act_step, s2.act_mm
-                aux3 = None
-            else:
-                im2, st2, mm2 = inv_mass, step, min_micro
-                aux3 = None
-            s2, c2, th2, lp2, dep2, g2, bi2, bs2, aux3 = _resolve_pending(
-                s2, active, st2, im2, mm2, block_draws, aux3,
-                params2=params2,
-            )
-            # per lane at most one of the two resolutions completes a
-            # draw (a lane resolved-and-restarted in the first cannot
-            # have latched again without integration trips)
-            c2_1 = c2[:, None]
-            return (
-                s2, c1_ | c2,
-                jnp.where(c2_1, th2, th1_),
-                jnp.where(c2, lp2, lp1_),
-                jnp.where(c2, dep2, dep1_),
-                jnp.where(c2_1, g2, g1_),
-                jnp.where(c2, bi2, bi1_),
-                jnp.where(c2, bs2, bs1_),
-                aux3,
-            )
-
-        (s, complete, sel_theta, sel_logp, out_depth, sel_grad, bank_idx,
-         bank_cslot, aux) = jax.lax.while_loop(
-            second_cond, second_body,
-            (s, c1, th1, lp1, dep1, g1, bi1, bs1, aux),
-        )
-        return (s, complete, sel_theta, sel_logp, out_depth, sel_grad,
-                bank_idx, bank_cslot, aux)
-
-    def _mix_slots(state: LaneState, live, parked):
-        """Multiplex: interleave a live (active-chain, lane-shaped)
-        pytree with its parked counterpart into per-chain (2C,) order —
-        the live machine holds slot ``cslot``, the parked record the
-        other. Chain order matches start_block's (lane c//2, slot c%2)."""
-        c0 = state.cslot == 0
-
-        def mix(a, b):
-            m = c0.reshape(c0.shape + (1,) * (a.ndim - c0.ndim))
-            both = jnp.stack(
-                [jnp.where(m, a, b), jnp.where(m, b, a)], axis=1
-            )
-            return both.reshape((both.shape[0] * 2,) + both.shape[2:])
-
-        return jax.tree.map(mix, live, parked)
-
-    def _per_chain(state: LaneState):
-        """Multiplex: per-chain (2C,) key/counter views of a lane state."""
-        kd = jax.random.key_data(state.key)
-        keys = jax.random.wrap_key_data(
-            _mix_slots(state, kd, state.ot_key),
-            impl=jax.random.key_impl(state.key),
-        )
-        ng = _mix_slots(state, state.n_grads, state.ot_n_grads)
-        fl = _mix_slots(state, state.fails, state.ot_fails)
-        return keys, ng, fl
+    # one tier-2 pass resolves one pending leaf per latched lane
+    leaf_apply = _resolve_pending
 
     # ------------------------------------------------------------------
     # fused tier-2 pass (ops/fused_pass.py): the whole resolution sweep
@@ -1619,35 +1124,25 @@ def make_batched_sample_block(
     def sample_block(state: LaneState, step, inv_mass, min_micro,
                      max_error, num_draws: int):
         R = int(num_draws)
-        dtype = state.ms_joint.dtype
+        # rows (positions/steps) carry the row dtype; the log-density
+        # buffers carry the (possibly wider) logp-chain dtype
+        dtype = state.run_sel.dtype
+        jdtype = state.ms_joint.dtype
         C, D = state.run_sel.shape
         min_micro = jnp.asarray(min_micro, jnp.int32)
         step = jnp.asarray(step, dtype=dtype)
         max_error = jnp.asarray(max_error, dtype=dtype)
-        if multiplex:
-            # per-chain (2C,) args -> (C, 2) views; per-chain entry
-            # counters reconstructed from the parked/live split
-            params2 = (
-                jnp.broadcast_to(step, (2 * C,)).reshape(C, 2),
-                inv_mass.reshape(C, 2, D),
-                jnp.broadcast_to(
-                    jnp.asarray(min_micro, jnp.int32), (2 * C,)
-                ).reshape(C, 2),
-            )
-            _, ng0_ct, fails0_ct = _per_chain(state)
-        else:
-            params2 = None
-            n_grads0 = state.n_grads
-            fails0 = state.fails
+        n_grads0 = state.n_grads
+        fails0 = state.fails
 
-        bufC = (C, 2) if multiplex else (C,)
+        bufC = (C,)
         if pallas_pass:
             # the fused pass banks draws chain-minor: (B, D, C); the
             # emitted block transposes back once after the scan
             buf_theta = jnp.zeros((B, D, C), dtype)
         else:
             buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
-        buf_logp = jnp.full((B,) + bufC, -jnp.inf, dtype)
+        buf_logp = jnp.full((B,) + bufC, -jnp.inf, jdtype)
         buf_depth = jnp.zeros((B,) + bufC, jnp.int32)
 
         def scan_step(carry, r):
@@ -1655,10 +1150,6 @@ def make_batched_sample_block(
             cap = jnp.minimum(jnp.int32(R), r + B)
 
             def outer_cond(c):
-                if multiplex:
-                    return jnp.any(
-                        jnp.minimum(c[0].draws_done, c[0].ot_draws) <= r
-                    )
                 return jnp.any(c[0].draws_done <= r)
 
             def outer_body(c):
@@ -1681,12 +1172,6 @@ def make_batched_sample_block(
 
                 def inner_body(c2):
                     s, n = c2
-                    if multiplex:
-                        return (
-                            inner_trip(s, active, s.act_step, s.act_im,
-                                       s.act_mm, max_error),
-                            n + 1,
-                        )
                     return (
                         inner_trip(s, active, step, inv_mass, min_micro,
                                    max_error),
@@ -1702,17 +1187,10 @@ def make_batched_sample_block(
                         st, bt, bl, bd, cap, step, inv_mass, min_micro, R
                     )
                     return st, bt, bl, bd, trips
-                if multiplex:
-                    (st, complete, sel_theta, sel_logp, out_depth, _,
-                     bank_idx, bank_cslot, _) = leaf_apply(
-                        st, active, st.act_step, st.act_im, st.act_mm, R,
-                        params2=params2,
-                    )
-                else:
-                    (st, complete, sel_theta, sel_logp, out_depth, _,
-                     bank_idx, bank_cslot, _) = leaf_apply(
-                        st, active, step, inv_mass, min_micro, R
-                    )
+                (st, complete, sel_theta, sel_logp, out_depth, _,
+                 bank_idx, _) = leaf_apply(
+                    st, active, step, inv_mass, min_micro, R
+                )
                 # bank completed draws (draw index = pre-increment
                 # draws_done of the COMPLETING chain). Same static/
                 # bounded split as the tier-2 sweeps (_use_bounded):
@@ -1721,9 +1199,6 @@ def make_batched_sample_block(
                 # wide rows); static is one fused masked write over all
                 # B buffer rows. Bitwise-identical either way.
                 slot = bank_idx % B  # valid where complete
-                if multiplex:
-                    # chain-slot mask: the completing chain's buffer cell
-                    mslot = bank_cslot[:, None] == jnp.arange(2)[None, :]
                 if _use_bounded(sel_theta.shape[-1]):
                     lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
                     hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
@@ -1731,15 +1206,8 @@ def make_batched_sample_block(
                     def bank_body(c):
                         j, bt, bl, bd = c
                         mj = complete & (slot == j)
-                        if multiplex:
-                            mj2 = mj[:, None] & mslot
-                            mth, mlp = mj2[:, :, None], mj2
-                            sth = sel_theta[:, None, :]
-                            slp = sel_logp[:, None]
-                            sdp = out_depth[:, None]
-                        else:
-                            mth, mlp = mj[:, None], mj
-                            sth, slp, sdp = sel_theta, sel_logp, out_depth
+                        mth, mlp = mj[:, None], mj
+                        sth, slp, sdp = sel_theta, sel_logp, out_depth
                         row = jax.lax.dynamic_index_in_dim(
                             bt, j, axis=0, keepdims=False
                         )
@@ -1769,17 +1237,9 @@ def make_batched_sample_block(
                         slot[None, :]
                         == jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
                     )  # (B, C)
-                    if multiplex:
-                        m2 = m[:, :, None] & mslot[None]
-                        bt = jnp.where(
-                            m2[..., None], sel_theta[None, :, None, :], bt
-                        )
-                        bl = jnp.where(m2, sel_logp[None, :, None], bl)
-                        bd = jnp.where(m2, out_depth[None, :, None], bd)
-                    else:
-                        bt = jnp.where(m[:, :, None], sel_theta[None], bt)
-                        bl = jnp.where(m, sel_logp[None], bl)
-                        bd = jnp.where(m, out_depth[None], bd)
+                    bt = jnp.where(m[:, :, None], sel_theta[None], bt)
+                    bl = jnp.where(m, sel_logp[None], bl)
+                    bd = jnp.where(m, out_depth[None], bd)
                 return st, bt, bl, bd, trips
 
             carry = jax.lax.while_loop(
@@ -1797,10 +1257,6 @@ def make_batched_sample_block(
             dep = jax.lax.dynamic_index_in_dim(
                 buf_depth, sl, axis=0, keepdims=False
             )
-            if multiplex:  # (C, 2, ...) -> (2C, ...) in chain order
-                draw = draw.reshape(2 * C, D)
-                lp = lp.reshape(2 * C)
-                dep = dep.reshape(2 * C)
             return (
                 (state, buf_theta, buf_logp, buf_depth, trips),
                 (draw, lp, dep),
@@ -1814,18 +1270,6 @@ def make_batched_sample_block(
         )
         if pallas_pass:  # (R, D, C) chain-minor emissions -> (R, C, D)
             draws = jnp.moveaxis(draws, -1, 1)
-        if multiplex:
-            keys_ct, ng_ct, fails_ct = _per_chain(state)
-            return BatchedBlockResult(
-                draws=draws, logps=logps, depths=depths,
-                key=keys_ct,
-                n_grads_delta=ng_ct - ng0_ct,
-                fails_delta=jax.tree.map(
-                    lambda a, b: a - b, fails_ct, fails0_ct
-                ),
-                n_inner_trips=trips[0],
-                n_outer_trips=trips[1],
-            )
         return BatchedBlockResult(
             draws=draws, logps=logps, depths=depths,
             key=state.key,
@@ -1853,23 +1297,21 @@ def make_batched_sample_block(
         Returns ``(BatchedBlockResult, final LaneState, aux')``.
         """
         R = int(num_draws)
-        dtype = state.ms_joint.dtype
+        dtype = state.run_sel.dtype
+        jdtype = state.ms_joint.dtype
         C, D = state.run_sel.shape
         max_error = jnp.asarray(max_error, dtype=dtype)
-        if multiplex:
-            _, n_grads0, fails0 = _per_chain(state)
-        else:
-            n_grads0 = state.n_grads
-            fails0 = state.fails
+        n_grads0 = state.n_grads
+        fails0 = state.fails
 
-        bufC = (C, 2) if multiplex else (C,)
+        bufC = (C,)
         if pallas_pass:
             # the fused pass banks draws chain-minor: (B, D, C); the
             # emitted block transposes back once after the scan
             buf_theta = jnp.zeros((B, D, C), dtype)
         else:
             buf_theta = jnp.zeros((B,) + bufC + (D,), dtype)
-        buf_logp = jnp.full((B,) + bufC, -jnp.inf, dtype)
+        buf_logp = jnp.full((B,) + bufC, -jnp.inf, jdtype)
         buf_depth = jnp.zeros((B,) + bufC, jnp.int32)
 
         def scan_step(carry, r):
@@ -1877,10 +1319,6 @@ def make_batched_sample_block(
             cap = jnp.minimum(jnp.int32(R), r + B)
 
             def outer_cond(c):
-                if multiplex:
-                    return jnp.any(
-                        jnp.minimum(c[0].draws_done, c[0].ot_draws) <= r
-                    )
                 return jnp.any(c[0].draws_done <= r)
 
             def outer_body(c):
@@ -1908,13 +1346,11 @@ def make_batched_sample_block(
                 )
                 trips = (n_inner, trips[1] + 1)
                 (st, complete, sel_theta, sel_logp, out_depth, _,
-                 bank_idx, bank_cslot, aux) = leaf_apply(
+                 bank_idx, aux) = leaf_apply(
                     st, active, step, inv_mass, min_micro, R,
                     aux=(mass, mm_est, iteration),
                 )
                 slot = bank_idx % B  # valid where complete
-                if multiplex:
-                    mslot = bank_cslot[:, None] == jnp.arange(2)[None, :]
                 if _use_bounded(sel_theta.shape[-1]):
                     lo = jnp.min(jnp.where(complete, slot, jnp.int32(B)))
                     hi = jnp.max(jnp.where(complete, slot, jnp.int32(-1)))
@@ -1922,15 +1358,8 @@ def make_batched_sample_block(
                     def bank_body(c):
                         j, bt, bl, bd = c
                         mj = complete & (slot == j)
-                        if multiplex:
-                            mj2 = mj[:, None] & mslot
-                            mth, mlp = mj2[:, :, None], mj2
-                            sth = sel_theta[:, None, :]
-                            slp = sel_logp[:, None]
-                            sdp = out_depth[:, None]
-                        else:
-                            mth, mlp = mj[:, None], mj
-                            sth, slp, sdp = sel_theta, sel_logp, out_depth
+                        mth, mlp = mj[:, None], mj
+                        sth, slp, sdp = sel_theta, sel_logp, out_depth
                         row = jax.lax.dynamic_index_in_dim(
                             bt, j, axis=0, keepdims=False
                         )
@@ -1960,17 +1389,9 @@ def make_batched_sample_block(
                         slot[None, :]
                         == jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
                     )  # (B, C)
-                    if multiplex:
-                        m2 = m[:, :, None] & mslot[None]
-                        bt = jnp.where(
-                            m2[..., None], sel_theta[None, :, None, :], bt
-                        )
-                        bl = jnp.where(m2, sel_logp[None, :, None], bl)
-                        bd = jnp.where(m2, out_depth[None, :, None], bd)
-                    else:
-                        bt = jnp.where(m[:, :, None], sel_theta[None], bt)
-                        bl = jnp.where(m, sel_logp[None], bl)
-                        bd = jnp.where(m, out_depth[None], bd)
+                    bt = jnp.where(m[:, :, None], sel_theta[None], bt)
+                    bl = jnp.where(m, sel_logp[None], bl)
+                    bd = jnp.where(m, out_depth[None], bd)
                 return st, aux, bt, bl, bd, trips
 
             carry = jax.lax.while_loop(
@@ -1988,10 +1409,6 @@ def make_batched_sample_block(
             dep = jax.lax.dynamic_index_in_dim(
                 buf_depth, sl, axis=0, keepdims=False
             )
-            if multiplex:  # (C, 2, ...) -> (2C, ...) in chain order
-                draw = draw.reshape(2 * C, D)
-                lp = lp.reshape(2 * C)
-                dep = dep.reshape(2 * C)
             return (
                 (state, aux, buf_theta, buf_logp, buf_depth, trips),
                 (draw, lp, dep),
@@ -2005,13 +1422,10 @@ def make_batched_sample_block(
         )
         return BatchedBlockResult(
             draws=draws, logps=logps, depths=depths,
-            key=_per_chain(state)[0] if multiplex else state.key,
-            n_grads_delta=(_per_chain(state)[1] - n_grads0
-                           if multiplex else state.n_grads - n_grads0),
+            key=state.key,
+            n_grads_delta=state.n_grads - n_grads0,
             fails_delta=jax.tree.map(
-                lambda a, b: a - b,
-                _per_chain(state)[2] if multiplex else state.fails,
-                fails0,
+                lambda a, b: a - b, state.fails, fails0,
             ),
             n_inner_trips=trips[0],
             n_outer_trips=trips[1],
@@ -2023,8 +1437,6 @@ def make_batched_sample_block(
     sample_block.leaf_apply = leaf_apply
     sample_block.start_block_cached = start_block_cached
     sample_block.adapt = sample_block_adapt if adapt_full else None
-    sample_block.per_chain = _per_chain
-    sample_block.mix_slots = _mix_slots
     return start_block, sample_block
 
 
@@ -2032,8 +1444,6 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
                               pallas_replay: bool = False,
                               runahead: int = 4,
                               tier2_every: int = 6,
-                              speculate: bool = False,
-                              multiplex: bool = False,
                               bounded_sweeps: Optional[bool] = None):
     """Batched-native ADAPTIVE WARMUP block — asynchronous per lane.
 
@@ -2080,8 +1490,6 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
         adapt_step_size=True,
         pallas_replay=pallas_replay,
         adapt_full=True,
-        speculate=speculate,
-        multiplex=multiplex,
         bounded_sweeps=bounded_sweeps,
     )
     block_adapt = sample_block.adapt
@@ -2090,68 +1498,22 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
     def warmup_block(ws: WarmupState, n: int):
         dtype = ws.theta.dtype
         # one fresh evaluation per BLOCK (counted); within the block the
-        # selected state's logp/grad ride the lane state. Under multiplex
-        # it runs as one 2C batch (bitwise the one-per-lane program's),
-        # then slot 0 mounts the machine and slot 1 parks with its full
-        # adaptation state.
+        # selected state's logp/grad ride the lane state.
         logp0, grad0 = jax.vmap(logp_grad)(ws.theta)
         inv_mass = jax.vmap(mass_estimator_inv_mass)(ws.mass)
         step = adam_step_size(ws.adam)
         min_micro = jax.vmap(min_micro_estimate)(ws.min_micro)
-        if not multiplex:
-            st = sample_block.start_block_cached(
-                ws.key, ws.theta, logp0, grad0, step, inv_mass, min_micro,
-                ws.adam, ws.n_grads + 1, ws.fails,
-            )
-            aux = (ws.mass, ws.min_micro, ws.iteration,
-                   inv_mass, step, min_micro)
-        else:
-            CT = ws.theta.shape[0]
-            if CT % 2:
-                raise ValueError(
-                    "multiplex=True needs an even chain count"
-                )
-            C = CT // 2
-
-            def sl(x):
-                return x.reshape((C, 2) + x.shape[1:])
-
-            s0 = jax.tree.map(lambda x: sl(x)[:, 0], ws)
-            s1 = jax.tree.map(lambda x: sl(x)[:, 1], ws)
-            dm = _dummy_parked(C)
-            parked = (
-                jnp.zeros((C,), jnp.int32),              # cslot
-                sl(ws.theta)[:, 1], sl(grad0)[:, 1], sl(logp0)[:, 1],
-                sl(jax.random.key_data(ws.key))[:, 1],
-                jnp.zeros((C,), jnp.int32),              # ot_draws
-                s1.n_grads + 1, s1.fails,
-                dm[8], dm[9], dm[10],                    # act_* dummies
-                s1.mass, s1.min_micro, s1.adam, s1.iteration,
-            )
-            st = sample_block.start_block_cached(
-                s0.key, sl(ws.theta)[:, 0], sl(logp0)[:, 0],
-                sl(grad0)[:, 0], sl(step)[:, 0], sl(inv_mass)[:, 0],
-                sl(min_micro)[:, 0], s0.adam, s0.n_grads + 1, s0.fails,
-                parked,
-            )
-            aux = (s0.mass, s0.min_micro, s0.iteration,
-                   sl(inv_mass)[:, 0], sl(step)[:, 0],
-                   sl(min_micro)[:, 0])
+        st = sample_block.start_block_cached(
+            ws.key, ws.theta, logp0, grad0, step, inv_mass, min_micro,
+            ws.adam, ws.n_grads + 1, ws.fails,
+        )
+        aux = (ws.mass, ws.min_micro, ws.iteration,
+               inv_mass, step, min_micro)
         res, st, aux = block_adapt(
             st, aux, jnp.asarray(max_error, dtype), int(n)
         )
         mass, mm_est, iteration, *_ = aux
-        if multiplex:
-            # interleave the live (active-chain) and parked adaptation
-            # states back into per-chain order
-            mix = sample_block.mix_slots
-            mass = mix(st, mass, st.ot_mass)
-            mm_est = mix(st, mm_est, st.ot_mm_est)
-            adam = mix(st, st.adam, st.ot_adam)
-            iteration = mix(st, iteration, st.ot_iter)
-            _, n_grads, fails = sample_block.per_chain(st)
-        else:
-            adam, n_grads, fails = st.adam, st.n_grads, st.fails
+        adam, n_grads, fails = st.adam, st.n_grads, st.fails
         ws = WarmupState(
             key=res.key,
             theta=res.draws[-1],
@@ -2165,23 +1527,6 @@ def make_batched_warmup_block(logp_grad: LogpGradFn, sampling_cfg,
         return ws, (res.draws, res.logps)
 
     return warmup_block
-
-
-def _dummy_parked(C):
-    """Placeholder parked-slot record for non-multiplexed lane states
-    (shape-(0,) leaves; ``cslot`` keeps lane shape for uniformity)."""
-    z0 = jnp.zeros((0,))
-    zi = jnp.zeros((0,), jnp.int32)
-    om = OnlineMomentsState(z0, z0, z0)
-    return (
-        jnp.zeros((C,), jnp.int32), z0, z0, z0,
-        jnp.zeros((0,), jnp.uint32), zi, zi,
-        FailStats(zi, zi, zi), z0, z0, zi,
-        MassEstimatorState(om, om, z0),
-        MinMicroState(z0, z0, z0, z0),
-        AdamState(*([z0] * 12)),
-        zi,
-    )
 
 
 def _where_lane(pred, new, old):

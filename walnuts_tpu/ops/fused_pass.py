@@ -45,7 +45,7 @@ the first integrated profile):
 
 Scope: the DEFAULT sampling configuration of
 ``make_batched_sample_block`` (``defer_splits=True`` and no
-``speculate`` / ``multiplex`` / ``adapt_full`` / ``fresh_cur`` /
+``adapt_full`` / ``fresh_cur`` /
 ``bf16_ends`` / ``adapt_step_size``); other configurations keep the XLA
 pass. The kernel body restates ``_resolve_pending`` (core/batched.py)
 operation-for-operation — the merge cascade and stack push use the

@@ -216,8 +216,6 @@ def run_warmup(
     runahead: int = 4,
     tier2_every: int = 6,
     batched_groups: int = 1,
-    speculate: bool = False,
-    multiplex: bool = False,
     bounded_sweeps: Optional[bool] = None,
     block_budget: Optional[float] = None,
 ) -> Tuple[WarmupState, Optional[np.ndarray], Optional[np.ndarray], RunInfo]:
@@ -255,10 +253,6 @@ def run_warmup(
         )
     if batched_groups > 1 and not batched:
         raise ValueError("batched_groups > 1 requires batched=True")
-    if multiplex and not batched:
-        raise ValueError("multiplex requires batched=True")
-    if multiplex and batched_groups > 1:
-        raise ValueError("multiplex is incompatible with batched_groups")
     if batched:
         if integrator is not None:
             raise ValueError(
@@ -273,7 +267,6 @@ def run_warmup(
         warmup_block = make_batched_warmup_block(
             logp_grad, sampling_cfg, pallas_replay=pallas_replay,
             runahead=runahead, tier2_every=tier2_every,
-            speculate=speculate, multiplex=multiplex,
             bounded_sweeps=bounded_sweeps,
         )
 
@@ -463,8 +456,6 @@ def run_sampling(
     defer_splits: bool = True,
     pallas_replay: bool = False,
     fresh_cur: bool = False,
-    speculate: bool = False,
-    multiplex: bool = False,
     bounded_sweeps: Optional[bool] = None,
     pallas_pass: bool = False,
     pass_tile: Optional[int] = None,
@@ -549,13 +540,6 @@ def run_sampling(
         )
     if batched_groups > 1 and not batched:
         raise ValueError("batched_groups requires batched=True")
-    if multiplex and not batched:
-        raise ValueError("multiplex requires batched=True")
-    if multiplex and batched_groups > 1:
-        raise ValueError("multiplex is incompatible with batched_groups "
-                         "(the per-block group sort would split chain "
-                         "pairs); the antithetic pairing covers the "
-                         "same heterogeneity")
     if checkpoint is not None and (flatten or chain_groups > 1):
         # the flat scheduler's bank and the group permutation are not part
         # of the checkpointed state
@@ -582,30 +566,6 @@ def run_sampling(
         perm = jnp.asarray(permutation)
         state = jax.tree.map(lambda x: x[perm], state)
         params = jax.tree.map(lambda x: x[perm], params)
-    elif multiplex and batched and mesh is None and checkpoint is None:
-        # antithetic cost pairing for the multiplexed lanes: pair the
-        # most expensive chain (predicted cost = adapted micro steps per
-        # unit step size, the chain_groups predictor) with the cheapest,
-        # the 2nd with the 2nd-cheapest, ... — per-lane work becomes the
-        # pair MEAN, flattening the batch-max padding far below random
-        # pairing's ~1/sqrt(2). Scheduling-only (a chain-axis
-        # permutation, inverted on every output below); skipped under a
-        # mesh or checkpoints where the permutation would leak into
-        # sharding/persistence.
-        n_chains = int(params.step_size.shape[0])
-        if n_chains % 2 == 0:
-            cost = np.asarray(
-                params.min_micro, dtype=np.float64
-            ) / np.asarray(params.step_size, dtype=np.float64)
-            order = np.argsort(cost, kind="stable")
-            half = n_chains // 2
-            permutation = np.empty(n_chains, dtype=np.int64)
-            permutation[0::2] = order[:half]
-            permutation[1::2] = order[::-1][:half]
-            perm = jnp.asarray(permutation)
-            state = jax.tree.map(lambda x: x[perm], state)
-            params = jax.tree.map(lambda x: x[perm], params)
-
     state = shard_chains(state, mesh)
     params = shard_chains(params, mesh)
     sample_step = make_sample_step(
@@ -710,8 +670,6 @@ def run_sampling(
             defer_splits=defer_splits,
             pallas_replay=pallas_replay,
             fresh_cur=fresh_cur,
-            speculate=speculate,
-            multiplex=multiplex,
             bounded_sweeps=bounded_sweeps,
             pallas_pass=pallas_pass,
             pass_tile=pass_tile,
