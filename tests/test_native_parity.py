@@ -58,15 +58,16 @@ def _ks(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.max(np.abs(ca - cb)))
 
 
-def _run_jax(model, dim, num_draws, seed):
+def _run_jax(model, dim, num_draws, seed, num_chains=16, num_warmup=400):
     logp, D = model
     outs = walnuts(
-        logp, num_params=D, num_chains=16, seed=seed,
-        min_warmup_iter=400, max_warmup_iter=400,
+        logp, num_params=D, num_chains=num_chains, seed=seed,
+        min_warmup_iter=num_warmup, max_warmup_iter=num_warmup,
         min_sampling_iter=num_draws, max_sampling_iter=num_draws,
         block_size=100, max_step_halvings=8, dtype=jnp.float64,
+        keep_dims=tuple(range(dim)) if dim < D else None,
     )
-    return np.stack([np.asarray(o) for o in outs])  # (C, n, D)
+    return np.stack([np.asarray(o) for o in outs])  # (C, n, dim)
 
 
 @pytest.fixture(scope="module")
@@ -142,6 +143,88 @@ class TestFunnelParity:
             assert diff < 4.0 * mcse + 0.05, (
                 f"funnel v q{p}: |diff|={diff:.3f} vs 4*MCSE={4 * mcse:.3f}"
             )
+
+
+@pytest.fixture(scope="module")
+def logreg_pair():
+    from walnuts_tpu.models import logistic_regression
+
+    fix = np.load(os.path.join(DATA, "native_logreg_draws.npz"))
+    native = fix["draws"].astype(np.float64)  # (16, 4000, 3)
+    ours = _run_jax(logistic_regression(), 3, 4000, seed=456)
+    return native, ours
+
+
+@pytest.fixture(scope="module")
+def sv_pair():
+    from walnuts_tpu.models import stochastic_volatility
+
+    fix = np.load(os.path.join(DATA, "native_sv_draws.npz"))
+    native = fix["draws"].astype(np.float64)  # (64, 2000, 3)
+    ours = _run_jax(stochastic_volatility(), 3, 2000, seed=654,
+                    num_chains=32, num_warmup=200)
+    # Radius-2 inits leave ~half the SV chains stuck from birth in BOTH
+    # implementations (docs/BENCHMARKS.md "SV stuck-chain discovery") —
+    # a stuck chain is a delta mass at its own random init, so pooled
+    # marginals can never match across different init draws. Condition
+    # both sides on the same observable criterion (the chain moved),
+    # which selects the non-degenerate basin identically; the KS
+    # thresholds below use the LIVE cohorts' effective sizes.
+    def live(d):
+        moved = np.any(np.diff(d[:, :, 0], axis=1) != 0.0, axis=1)
+        return d[moved]
+
+    return live(native), live(ours)
+
+
+class TestLogRegParity:
+    """Draw-level parity on the log-concave benchmark posterior — the
+    model family (matmul likelihood) the funnel/eight-schools fixtures
+    don't cover (VERDICT r4 item 8). Fixture:
+    ``BASELINE_MAX_HALVINGS=8 BASELINE_KEEP_DIMS=3 ./csrc/baseline_bench
+    logreg 16 400 4000 77 out.bin csrc/logreg_data.bin`` — the same
+    deterministic dataset ``logistic_regression()`` builds."""
+
+    @pytest.mark.parametrize("dim,label",
+                             [(0, "intercept"), (1, "beta1"), (2, "beta2")])
+    def test_coefficient_ks(self, logreg_pair, dim, label):
+        native, ours = logreg_pair
+        _ks_check(native, ours, dim, f"logreg {label}")
+
+    def test_posterior_sd_ratio(self, logreg_pair):
+        """Pooled posterior sds agree within the cross-side MCSE band
+        (a biased step-size/mass adaptation would widen or narrow
+        these; n_eff is in the thousands, so the band is tight)."""
+        native, ours = logreg_pair
+        for dim in range(3):
+            ne = min(_pooled_neff(native, dim), _pooled_neff(ours, dim))
+            sd_n = native[:, :, dim].std()
+            sd_o = ours[:, :, dim].std()
+            tol = 5.0 * sd_n * np.sqrt(0.5 / max(ne, 1.0)) * np.sqrt(2.0)
+            assert abs(sd_n - sd_o) < tol, (
+                f"logreg dim {dim}: sd {sd_n:.4f} vs {sd_o:.4f} "
+                f"(tol {tol:.4f}, n_eff {ne:.0f})"
+            )
+
+
+class TestStochVolParity:
+    """Draw-level parity on the SV hyperparameters (mu, phi_raw,
+    log_sigma) over the live cohort — the contested-parity model
+    (VERDICT r4 item 8). Fixture: ``BASELINE_MAX_HALVINGS=8
+    BASELINE_KEEP_DIMS=3 ./csrc/baseline_bench sv 64 200 2000 5000
+    out.bin csrc/sv_data.bin`` — the same deterministic returns
+    ``stochastic_volatility()`` builds. (Seed 5000 family: the native
+    Rng's seed-77 init stream is a weak-seeding outlier — 13/48 live
+    vs the expected ~50%; measured round 5.)"""
+
+    @pytest.mark.parametrize("dim,label",
+                             [(0, "mu"), (1, "phi_raw"), (2, "log_sigma")])
+    def test_hyperparameter_ks(self, sv_pair, dim, label):
+        native, ours = sv_pair
+        assert native.shape[0] >= 4 and ours.shape[0] >= 4, (
+            "too few live chains to compare"
+        )
+        _ks_check(native, ours, dim, f"sv {label}")
 
 
 class TestEightSchoolsParity:
