@@ -96,6 +96,7 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16,
         unroll=unroll, batched=batched, block_budget=0.0,
         runahead=int(os.environ.get("BENCH_WARMUP_B", 4)),
+        tier2_every=int(os.environ.get("BENCH_WARMUP_T2K", 6)),
         batched_groups=int(os.environ.get("BENCH_WARMUP_GROUPS", 1))
         if batched else 1,
     )

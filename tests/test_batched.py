@@ -422,7 +422,8 @@ class TestBatchedRuntime:
         # ~5e-14 absolute on this test, the same correctness class as
         # the classic-vs-async caveat above. SAMPLING B/K-invariance
         # remains bitwise: no adaptation arithmetic in the pass.)
-        for kw in (dict(runahead=1), dict(batched_groups=2)):
+        for kw in (dict(runahead=1), dict(batched_groups=2),
+                   dict(tier2_every=12)):
             ws_b1, db1, lb1, _ = run_warmup(
                 lg, mkws(), wcfg, scfg, save_warmup=True, batched=True,
                 **kw,

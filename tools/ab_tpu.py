@@ -39,12 +39,18 @@ ARMS = {
     # round-4 fused tier-2 pass kernel (ops/fused_pass.py; bitwise)
     "ppass": ({"BENCH_PPASS": "1"}, 4096),
     "xlapass": ({"BENCH_PPASS": "0"}, 4096),
+    # round-5 warmup arms (reconcile_warmup found warmup K=12 -11% wall
+    # at the block level, and warmup runs G=1 where sampling won at G=4)
+    "wk12": ({"BENCH_WARMUP_T2K": "12"}, 4096),
+    "wg4": ({"BENCH_WARMUP_GROUPS": "4"}, 4096),
+    "wk12g4": ({"BENCH_WARMUP_T2K": "12", "BENCH_WARMUP_GROUPS": "4"}, 4096),
 }
 
 BASE_ENV = [
     "BENCH_BATCHED", "BENCH_T2K",
     "BENCH_FRESHCUR", "BENCH_BGROUPS", "BENCH_RUNAHEAD",
-    "BENCH_PPASS",
+    "BENCH_PPASS", "BENCH_WARMUP_T2K", "BENCH_WARMUP_GROUPS",
+    "BENCH_WARMUP_B",
 ]
 
 
