@@ -42,6 +42,7 @@ ARMS = {
     # round-5 warmup arms (reconcile_warmup found warmup K=12 -11% wall
     # at the block level, and warmup runs G=1 where sampling won at G=4)
     "wk12": ({"BENCH_WARMUP_T2K": "12"}, 4096),
+    "wk18": ({"BENCH_WARMUP_T2K": "18"}, 4096),
     "wg4": ({"BENCH_WARMUP_GROUPS": "4"}, 4096),
     "wk12g4": ({"BENCH_WARMUP_T2K": "12", "BENCH_WARMUP_GROUPS": "4"}, 4096),
 }
@@ -84,6 +85,8 @@ def run_arm(name, env, n_chains, logp_grad, dim, model="funnel",
         r = bench._run_once(logp_grad, dim, n_chains, iters[0], iters[1], s,
                             jnp.float32, model_name=model)
         draws = r.pop("draws")
+        r.pop("tight_inputs", None)  # (C, N, 2) arrays for bench's own
+        # tight-protocol stats — not a timing field
         ess = None
         if name.endswith("_8192") or os.environ.get("AB_ESS"):
             if isinstance(draws, np.ndarray):

@@ -1,13 +1,15 @@
 """Profile the ASYNCHRONOUS warmup block's device-kernel breakdown.
 
-VERDICT r4 item 7 follow-up: the two-K counter solve
-(tools/reconcile_warmup.py) shows the warmup inner trip costs ~53-57 us
-vs the sampling trip's 9.6 us at identical (C, D) — a 5.5x inflation
-that makes trips ~62 % of warmup wall. This traces ONE ``adapt_full``
-block at bench shape (funnel(101) x 4096, radius-2 inits, the bench's
-actual first warmup block) and attributes kernels by occurrence count
-(trip-frequency ~T, pass-frequency ~P, per-draw ~R), so the inflation
-gets a named kernel.
+VERDICT r4 item 7 follow-up. NOTE: the first reconcile_warmup session
+solved the warmup trip at ~55 us and this profiler was written to name
+the inflation — but the clean re-measure (tools/warmup_trip_isolate.py,
+IDENTICAL scheduler counters, wall 3.76 -> 2.06 s) showed that session
+was on a degraded worker: the true warmup t_trip is ~12 us, equal to
+the sampling block's at the same state. Kept as the generic warmup
+kernel profiler: traces ONE ``adapt_full`` block at bench shape
+(funnel(101) x 4096, radius-2 inits, the bench's actual first warmup
+block) and attributes kernels by occurrence count (trip-frequency ~T,
+pass-frequency ~P, per-draw ~R).
 
 Usage:
     PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_warmup.py \
