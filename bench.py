@@ -85,8 +85,16 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
     groups_env = int(os.environ.get("BENCH_GROUPS", 1))
     batched = bool(int(os.environ.get("BENCH_BATCHED", 1))) and groups_env == 1
     # warmup scheduler knobs (the batched warmup is asynchronous per lane;
-    # runahead/groups are scheduling-only — BENCH_WARMUP_B/_GROUPS
-    # override; tools/ab_tpu.py re-measures the warmup arms)
+    # runahead/K/groups are scheduling-only — BENCH_WARMUP_B/_T2K/_GROUPS
+    # override; tools/ab_tpu.py re-measures the warmup arms).
+    # Warmup tier2_every default is 12 on funnel/SV, 6 on logreg: at
+    # the early-warmup state tier-2 passes are ~75% of block wall at
+    # K=6 (clean two-K isolate, docs/warmup_isolate_r5.json: t_trip
+    # 12.1 us == sampling's, t_pass 222 us) — K=12 measured warmup wall
+    # -17% on funnel AND SV with identical grad counts; K=18 ties K=12
+    # (pass floor), warmup groups=4 loses, and logreg (expensive matmul
+    # trips, passes a small share — its sampling K=6 preference) runs
+    # +5% at K=12 (docs/BENCHMARKS.md round 5)
     # block_budget=0: the bench hand-tunes block sizes per model (see
     # `block` above) and the ref-accounting correction below infers
     # block counts from them — a transient worker slowdown must not
@@ -96,7 +104,8 @@ def _run_once(logp_grad, dim, n_chains, warmup_iters, sampling_iters, seed, dtyp
         logp_grad, wstate, warmup_cfg, sampling_cfg, bf16_ends=bf16,
         unroll=unroll, batched=batched, block_budget=0.0,
         runahead=int(os.environ.get("BENCH_WARMUP_B", 4)),
-        tier2_every=int(os.environ.get("BENCH_WARMUP_T2K", 6)),
+        tier2_every=int(os.environ.get(
+            "BENCH_WARMUP_T2K", 6 if model_name == "logreg" else 12)),
         batched_groups=int(os.environ.get("BENCH_WARMUP_GROUPS", 1))
         if batched else 1,
     )

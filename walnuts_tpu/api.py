@@ -89,6 +89,7 @@ def walnuts(
     batched_groups: int = 1,
     runahead: int = 8,
     tier2_every: int = 6,
+    warmup_tier2_every: Optional[int] = None,
     min_latched: int = 0,
     defer_splits: bool = True,
     checkpoint_dir: Optional[str] = None,
@@ -143,7 +144,10 @@ def walnuts(
       (:mod:`walnuts_tpu.core.batched`) — leaf-latched integration with
       amortised orbit bookkeeping (``tier2_every`` trips per pass, but a
       pass is deferred until at least ``min_latched`` lanes have latched
-      a leaf), a ``runahead``-deep run-ahead draw buffer, and deferred
+      a leaf; warmup uses ``warmup_tier2_every``, default 12 — passes
+      carry the adaptation applies and dominate early-warmup wall, and
+      K=12 measured −17 % warmup on funnel and SV with the draw
+      schedule unchanged), a ``runahead``-deep run-ahead draw buffer, and deferred
       key-split replay (``defer_splits``; both scheduling-only — draws
       are bitwise identical for every setting); ``batched_groups > 1``
       re-sorts chains every block by realized gradient cost and runs the
@@ -449,7 +453,15 @@ def walnuts(
                 checkpoint=ckpt, start_it=start_warmup, info=warmup_info,
                 batched=batched,
                 batched_groups=batched_groups if batched else 1,
-                tier2_every=tier2_every,
+                # warmup defaults to K=12, not sampling's tier2_every:
+                # tier-2 passes dominate the early-warmup block (~75 %
+                # of wall at K=6) and K=12 measured warmup wall -17 %
+                # on funnel AND SV with the draw schedule unchanged
+                # (scheduling-only; logreg-like models with expensive
+                # matmul trips measured +5 % — pass 6 there;
+                # docs/BENCHMARKS.md round 5)
+                tier2_every=(12 if warmup_tier2_every is None
+                             else warmup_tier2_every),
             )
             if ckpt is not None and start_warmup and save_warmup:
                 prev_d, prev_l = ckpt.saved_blocks("warmup", start_warmup)
