@@ -43,6 +43,8 @@ ARMS = {
     # at the block level, and warmup runs G=1 where sampling won at G=4)
     "wk12": ({"BENCH_WARMUP_T2K": "12"}, 4096),
     "wk18": ({"BENCH_WARMUP_T2K": "18"}, 4096),
+    "wk24": ({"BENCH_WARMUP_T2K": "24"}, 4096),
+    "wb8": ({"BENCH_WARMUP_B": "8"}, 4096),
     "wg4": ({"BENCH_WARMUP_GROUPS": "4"}, 4096),
     "wk12g4": ({"BENCH_WARMUP_T2K": "12", "BENCH_WARMUP_GROUPS": "4"}, 4096),
 }
