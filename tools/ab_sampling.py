@@ -124,6 +124,15 @@ def main():
         lg = logp_grad
         if "_impl" in cfg:
             lg = impl_variants[cfg.pop("_impl")]
+        # "_block": N — per-arm sampling block size (block length is pure
+        # scheduling: draws are bitwise invariant, only block-edge costs
+        # move). First use of a new length pays its compile; repeats reuse.
+        arm_cfg = sampling_cfg
+        if "_block" in cfg:
+            arm_cfg = SamplingConfig(
+                min_iter=draws, max_iter=draws,
+                block_size=min(int(cfg.pop("_block")), draws),
+                max_step_halvings=8)
         times = []
         for _ in range(repeats):
             sstate = jax.vmap(init_sample_state)(wstate)
@@ -134,7 +143,7 @@ def main():
                       tier2_every=t2k)
             kw.update(cfg)
             sstate, dr, _, _ = run_sampling(
-                lg, sstate, params, sampling_cfg, info=info, **kw)
+                lg, sstate, params, arm_cfg, info=info, **kw)
             jax.block_until_ready((sstate, dr))
             times.append(round(time.time() - t0, 3))
             del dr
